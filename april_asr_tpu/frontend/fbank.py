@@ -1,0 +1,249 @@
+"""Batched streaming log-mel fbank frontend for TPU.
+
+TPU-native redesign of the reference's per-sample C loop (src/fbank.c): instead
+of one frame at a time through pocketfft, each engine step processes a whole
+audio chunk per session — all frames are gathered into a [frames, padded]
+matrix, windowed/FFT'd/mel-projected as batched dense ops (MXU-friendly
+matmuls), and appended to a fixed-capacity mel-row FIFO with masked scatters.
+All state lives in fixed-shape arrays so the whole pipeline jits and vmaps over
+the session axis; there is no data-dependent control flow.
+
+Semantics replicated from the reference (validated against the oracle in
+oracle.py, which in turn is validated against golden vectors from the compiled
+reference):
+  * frame layout: hop `window_shift`, window `padded_window_size` with the
+    Povey window computed over the padded size (fbank.c:140-141)
+  * DC removal, pre-emphasis with the data[0] quirk, f32 power spectrum with
+    dropped Nyquist bin (fbank.c:241-280)
+  * leftover-sample carry between chunks (fbank.c:195-226), FIFO overflow
+    drops input and keeps stale leftover (fbank.c:190-193)
+  * segment pull of `pull_segment_count` rows advancing by `pull_segment_step`
+    (fbank.c:327-349), flush padding of log(eps) rows bounded by the real-data
+    debt counter (fbank.c:308-325)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FbankOptions
+from .oracle import K_EPS, mel_banks, povey_window
+
+
+@dataclasses.dataclass(frozen=True)
+class FbankLayout:
+    """Static shapes for the streaming fbank, derived from options + chunk size."""
+
+    opts: FbankOptions
+    chunk: int  # samples accepted per step
+    leftover_cap: int
+    max_frames: int  # frame slots computed per step (upper bound)
+    fifo_rows: int
+
+    @staticmethod
+    def build(opts: FbankOptions, chunk: int, fifo_rows: int | None = None) -> "FbankLayout":
+        padded = opts.padded_window_size
+        shift = opts.window_shift
+        leftover_cap = 2 * padded
+        # Worst case: leftover nearly full (padded+shift-1 real samples) plus a
+        # full chunk.
+        max_total = (padded + shift - 1) + chunk
+        max_frames = max(0, (max_total - padded) // shift + 1)
+        if fifo_rows is None:
+            # Steady state holds < pull_segment_count rows plus one chunk's
+            # frames; round up to a multiple of 8 for clean tiling.
+            need = opts.pull_segment_count + max_frames
+            fifo_rows = ((need + 7) // 8) * 8
+        return FbankLayout(
+            opts=opts,
+            chunk=chunk,
+            leftover_cap=leftover_cap,
+            max_frames=max_frames,
+            fifo_rows=fifo_rows,
+        )
+
+    @property
+    def max_pulls_per_step(self) -> int:
+        """Upper bound on segment pulls after one accept (fifo fully drained
+        to < pull_segment_count each step, like the reference's
+        while-pull loop in aas_infer, april_session.c:441)."""
+        o = self.opts
+        return max(
+            1, (self.fifo_rows - (o.pull_segment_count - o.pull_segment_step) + (o.pull_segment_step - 1)) // o.pull_segment_step
+        )
+
+
+# Per-session streaming state: a plain dict pytree with fixed-shape leaves
+# (unbatched; the engine vmaps over a leading session axis):
+#   leftover     f32[leftover_cap]  zero-padded beyond leftover_len
+#   leftover_len i32
+#   fifo         f32[fifo_rows, num_bins]  valid rows at the front
+#   fifo_len     i32   rows available (includes flush padding)
+#   fifo_len_f   i32   real-data availability, may go negative during flush
+#   dropped      i32   overflow event count (CANT_KEEP_UP-style observability)
+FbankState = dict
+
+
+def fbank_init(layout: FbankLayout) -> FbankState:
+    o = layout.opts
+    return FbankState(
+        leftover=jnp.zeros(layout.leftover_cap, jnp.float32),
+        leftover_len=jnp.int32(0),
+        fifo=jnp.zeros((layout.fifo_rows, o.num_bins), jnp.float32),
+        fifo_len=jnp.int32(0),
+        fifo_len_f=jnp.int32(0),
+        dropped=jnp.int32(0),
+    )
+
+
+def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
+    """[F, padded] raw frames -> [F, num_bins] log-mel rows.
+
+    Batched equivalent of fbank.c:241-295; float32 throughout (the reference
+    FFT is float64 — WER-neutral per the tolerance tests in
+    tests/test_fbank_jax.py).
+    """
+    o = layout.opts
+    padded = o.padded_window_size
+    window = jnp.asarray(povey_window(padded))
+    mel_t = jnp.asarray(
+        mel_banks(o.num_bins, o.num_fft_bins, padded, o.sample_freq, o.mel_low, o.mel_high).T
+    )  # [nfft, bins]
+
+    x = frames
+    if o.remove_dc_offset:
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        x = x - mean
+    c = jnp.float32(o.preemph_coeff)
+    if o.preemph_coeff > 0.0:
+        shifted = jnp.concatenate([x[:, :1], x[:, :-1]], axis=-1)
+        x = x - c * shifted
+    x = x * window
+
+    spec = jnp.fft.rfft(x)  # [F, padded//2+1] complex64
+    re = jnp.real(spec)[:, : o.num_fft_bins]
+    im = jnp.imag(spec)[:, : o.num_fft_bins]
+    power = re * re + im * im  # imag of DC bin is 0 already (fbank.c:269-270)
+
+    mel = jnp.dot(power, mel_t, preferred_element_type=jnp.float32)
+    return jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
+
+
+def fbank_accept(
+    layout: FbankLayout, state: FbankState, wave: jnp.ndarray, n: jnp.ndarray
+) -> FbankState:
+    """Accept up to `layout.chunk` samples (`wave[:n]` valid) for one session.
+
+    Batched equivalent of fbank_accept_waveform (fbank.c:174-306).
+    """
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    cap = layout.leftover_cap
+    F = layout.max_frames
+
+    n = jnp.asarray(n, jnp.int32)
+    lo_len = state["leftover_len"]
+
+    wave = jnp.where(jnp.arange(layout.chunk) < n, wave, 0.0).astype(jnp.float32)
+    buf = jnp.zeros(cap + layout.chunk, jnp.float32)
+    buf = jax.lax.dynamic_update_slice(buf, state["leftover"], (0,))
+    buf = jax.lax.dynamic_update_slice(buf, wave, (lo_len,))
+    # Zero anything the wave write smeared past the end of real data
+    # (leftover tail beyond lo_len is zero by invariant, but the wave write at
+    # offset lo_len already lands exactly at the boundary, so buf[total:] == 0).
+    total = lo_len + n
+
+    nframes = jnp.maximum(0, (total - padded) // shift + 1)
+    space = layout.fifo_rows - state["fifo_len"]
+    nf_eff = jnp.minimum(nframes, space)
+    truncated = nf_eff < nframes
+
+    idx = jnp.arange(F)[:, None] * shift + jnp.arange(padded)[None, :]
+    frames = buf[idx]  # [F, padded]
+    rows = _frame_dsp(layout, frames)
+
+    valid = jnp.arange(F) < nf_eff
+    dest = jnp.where(valid, state["fifo_len"] + jnp.arange(F), layout.fifo_rows)
+    fifo = state["fifo"].at[dest].set(rows, mode="drop")
+
+    fifo_len = state["fifo_len"] + nf_eff
+    # avail_f tracks real rows; it snaps to avail whenever a real row lands
+    # (fbank.c:300), otherwise keeps its (possibly lower) value.
+    fifo_len_f = jnp.where(nf_eff > 0, fifo_len, state["fifo_len_f"])
+
+    # Leftover update (fbank.c:195-226); on truncation the reference returns
+    # early leaving the previous leftover in place (fbank.c:190-193).
+    consumed = nframes * shift
+    new_lo_len = total - consumed
+    lo_idx = jnp.arange(cap)
+    new_leftover = jax.lax.dynamic_slice(
+        jnp.concatenate([buf, jnp.zeros(cap, jnp.float32)]), (consumed,), (cap,)
+    )
+    new_leftover = jnp.where(lo_idx < new_lo_len, new_leftover, 0.0)
+
+    keep_stale = truncated
+    leftover = jnp.where(keep_stale, state["leftover"], new_leftover)
+    leftover_len = jnp.where(keep_stale, lo_len, new_lo_len)
+    dropped = state["dropped"] + keep_stale.astype(jnp.int32)
+
+    return FbankState(
+        leftover=leftover,
+        leftover_len=leftover_len,
+        fifo=fifo,
+        fifo_len=fifo_len,
+        fifo_len_f=fifo_len_f,
+        dropped=dropped,
+    )
+
+
+def fbank_flush_pad(layout: FbankLayout, state: FbankState) -> Tuple[FbankState, jnp.ndarray]:
+    """Pad log(eps) rows up to pull_segment_count if the debt bound allows.
+
+    Returns (state, did_flush). Equivalent of fbank_flush (fbank.c:308-325):
+    padded rows raise fifo_len but not fifo_len_f; flushing stops once
+    fifo_len_f has been drawn below -3*pull_segment_count.
+    """
+    o = layout.opts
+    seg = o.pull_segment_count
+    did = state["fifo_len_f"] >= -(seg * 3)
+
+    log_eps = jnp.full((o.num_bins,), jnp.log(jnp.float32(K_EPS)), jnp.float32)
+    idx = jnp.arange(layout.fifo_rows)
+    pad_mask = did & (idx >= state["fifo_len"]) & (idx < seg)
+    fifo = jnp.where(pad_mask[:, None], log_eps[None, :], state["fifo"])
+    fifo_len = jnp.where(did, jnp.maximum(state["fifo_len"], seg), state["fifo_len"])
+
+    new_state = FbankState(state)
+    new_state["fifo"] = fifo
+    new_state["fifo_len"] = fifo_len
+    return new_state, did
+
+
+def fbank_can_pull(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
+    return state["fifo_len"] >= layout.opts.pull_segment_count
+
+
+def fbank_peek(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
+    """Front pull_segment_count rows as the [seg, num_bins] network input."""
+    return state["fifo"][: layout.opts.pull_segment_count]
+
+
+def fbank_advance(layout: FbankLayout, state: FbankState, do: jnp.ndarray) -> FbankState:
+    """Advance the FIFO by pull_segment_step rows where `do` (fbank.c:343-346)."""
+    o = layout.opts
+    step = o.pull_segment_step
+    shifted = jnp.concatenate(
+        [state["fifo"][step:], jnp.zeros((step, o.num_bins), jnp.float32)]
+    )
+    new_state = FbankState(state)
+    new_state["fifo"] = jnp.where(do, shifted, state["fifo"])
+    new_state["fifo_len"] = state["fifo_len"] - step * do.astype(jnp.int32)
+    new_state["fifo_len_f"] = state["fifo_len_f"] - step * do.astype(jnp.int32)
+    return new_state
