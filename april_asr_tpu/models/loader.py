@@ -1,0 +1,326 @@
+"""Model loading facade: .april file -> batched TPU-ready step functions.
+
+Replaces the reference's aam_create_model (src/april_model.c:24-107): reads the
+container, validates the model type/network count, derives fbank options with
+the same overrides (snip_edges forced true, remove_dc_offset true, preemph
+0.97 — april_model.c:84-97), cross-checks network shapes against params
+(april_model.c:99-102), then prepares the compute path:
+
+  1. parse the 3 ONNX graphs,
+  2. try native weight extraction (models/extract.py) and VERIFY it against
+     the generic interpreter on random inputs,
+  3. on any mismatch fall back to the vmapped interpreter — any valid .april
+     file runs either way.
+
+The returned ModelRuntime exposes uniformly batched functions
+(encoder_step/decoder_step/joiner) over a leading session axis with LSTM state
+laid out [L, S, ·], which is what the engine jits and shards.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FbankOptions
+from ..io.container import (
+    MODEL_LSTM_TRANSDUCER_STATELESS,
+    MODEL_NATIVE_TRANSDUCER_TPU,
+    AprilContainer,
+    read_container,
+)
+from ..io.onnx_model import parse_model
+from ..io.params import ModelParameters, VocabTables, build_vocab_tables
+from ..ops.onnx2jax import lower_graph
+from ..utils import logging as log
+from .extract import ExtractionError, extract_transducer
+from .lstm_transducer import (
+    TransducerDims,
+    decoder_step,
+    encoder_step,
+    joiner_logits,
+)
+
+
+@dataclasses.dataclass
+class ModelRuntime:
+    """Uniformly batched transducer compute functions plus metadata.
+
+    encoder_step(weights, x[S,seg,mel], h[L,S,dh], c[L,S,dc]) -> (eout[S,J], h', c')
+    decoder_step(weights, context[S,ctx]) -> dout[S,J]
+    joiner(weights, eout[S,J], dout[S,J]) -> logits[S,V]
+    """
+
+    name: str
+    description: str
+    language: str
+    params: ModelParameters
+    fbank_opts: FbankOptions
+    vocab: VocabTables
+    dims: TransducerDims
+    kind: str  # "native" | "interp"
+    weights: Dict
+    encoder_step: Callable
+    decoder_step: Callable
+    joiner: Callable
+    state_shapes: tuple  # ((L,dh), (L,dc)) per-session h/c trailing shapes
+
+    @property
+    def sample_rate(self) -> int:
+        return self.fbank_opts.sample_freq
+
+    @property
+    def blank_id(self) -> int:
+        return self.params.blank_id
+
+
+def _fbank_opts_from_params(p: ModelParameters) -> FbankOptions:
+    """Reference: april_model.c:84-97 (snip_edges/remove_dc/preemph forced)."""
+    return FbankOptions(
+        sample_freq=p.sample_rate,
+        frame_shift_ms=p.frame_shift_ms,
+        frame_length_ms=p.frame_length_ms,
+        num_bins=p.mel_features,
+        round_pow2=p.round_pow2,
+        mel_low=p.mel_low,
+        mel_high=p.mel_high,
+        snip_edges=True,
+        pull_segment_count=p.segment_size,
+        pull_segment_step=p.segment_step,
+        remove_dc_offset=True,
+        preemph_coeff=0.97,
+    )
+
+
+def _interp_runtime_fns(enc_graph, dec_graph, joi_graph, h_shape, c_shape):
+    """Vmapped batch-1 interpreter functions with engine-facing layouts."""
+    enc_fn, enc_w = lower_graph(enc_graph)
+    dec_fn, dec_w = lower_graph(dec_graph)
+    joi_fn, joi_w = lower_graph(joi_graph)
+    weights = {"enc": enc_w, "dec": dec_w, "joi": joi_w}
+
+    def enc_one(w, x1, h1, c1):
+        # x1 [seg, mel]; h1 [L, dh]; c1 [L, dc]
+        e, h2, c2 = enc_fn(w, x1[None], h1[:, None], c1[:, None])
+        return e[0, 0], h2[:, 0], c2[:, 0]
+
+    def encoder(w, x, h, c):
+        return jax.vmap(enc_one, in_axes=(None, 0, 1, 1), out_axes=(0, 1, 1))(
+            w["enc"], x, h, c
+        )
+
+    def dec_one(w, ctx1):
+        (d,) = dec_fn(w, ctx1[None].astype(jnp.int32))
+        return d[0, 0]
+
+    def decoder(w, ctx):
+        return jax.vmap(dec_one, in_axes=(None, 0))(w["dec"], ctx)
+
+    def joi_one(w, e1, d1):
+        (l,) = joi_fn(w, e1[None, None], d1[None, None])
+        return l.reshape(-1)
+
+    def joiner(w, eout, dout):
+        return jax.vmap(joi_one, in_axes=(None, 0, 0))(w["joi"], eout, dout)
+
+    return weights, encoder, decoder, joiner
+
+
+def _native_runtime_fns(dims: TransducerDims):
+    def encoder(w, x, h, c):
+        return encoder_step(w, x, h, c)
+
+    def decoder(w, ctx):
+        return decoder_step(w, ctx, dims)
+
+    def joiner(w, eout, dout):
+        return joiner_logits(w, eout, dout)
+
+    return encoder, decoder, joiner
+
+
+def _verify_native(dims, native_w, interp_fns, seed=0, atol=2e-4) -> Optional[str]:
+    """Compare native vs interpreter on random inputs. Returns None if they
+    agree, else a description of the first mismatch."""
+    interp_w, ienc, idec, ijoi = interp_fns
+    nenc, ndec, njoi = _native_runtime_fns(dims)
+    rng = np.random.default_rng(seed)
+    S = 2
+    x = rng.normal(size=(S, dims.segment_size, dims.mel)).astype(np.float32)
+    h = (rng.normal(size=(dims.layers, S, dims.d_model)) * 0.1).astype(np.float32)
+    c = (rng.normal(size=(dims.layers, S, dims.hidden)) * 0.1).astype(np.float32)
+    ctx = rng.integers(0, dims.vocab, size=(S, dims.context)).astype(np.int32)
+
+    ne, nh, nc = nenc(native_w, x, h, c)
+    ie, ih, ic = ienc(interp_w, x, h, c)
+    for name, a, b in (("encoder_out", ne, ie), ("h", nh, ih), ("c", nc, ic)):
+        if not np.allclose(np.asarray(a), np.asarray(b), atol=atol, rtol=1e-3):
+            return f"{name} mismatch (max diff {np.max(np.abs(np.asarray(a) - np.asarray(b))):.3e})"
+
+    nd = ndec(native_w, ctx)
+    idv = idec(interp_w, ctx)
+    if not np.allclose(np.asarray(nd), np.asarray(idv), atol=atol, rtol=1e-3):
+        return "decoder_out mismatch"
+
+    nl = njoi(native_w, ne, nd)
+    il = ijoi(interp_w, ie, idv)
+    if not np.allclose(np.asarray(nl), np.asarray(il), atol=atol, rtol=1e-3):
+        return "logits mismatch"
+    return None
+
+
+def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRuntime:
+    """Load a .april model into a ModelRuntime (aam_create_model equivalent)."""
+    container = read_container(path)
+    p = container.params
+
+    if container.model_type == MODEL_NATIVE_TRANSDUCER_TPU:
+        return _load_native_container(container)
+
+    if container.model_type != MODEL_LSTM_TRANSDUCER_STATELESS or container.network_count != 3:
+        # reference: april_model.c:36-40
+        raise ValueError(
+            f"model has unknown type {container.model_type} or wrong network "
+            f"count {container.network_count}"
+        )
+
+    enc_graph = parse_model(container.networks[0]).graph
+    dec_graph = parse_model(container.networks[1]).graph
+    joi_graph = parse_model(container.networks[2]).graph
+
+    # Shape cross-checks, reference april_model.c:74-102.
+    x_shape = enc_graph.input_shapes.get("x") or enc_graph.input_shapes.get(
+        enc_graph.inputs[0]
+    )
+    if x_shape is not None:
+        if x_shape[0] != p.batch_size or x_shape[1] != p.segment_size or x_shape[2] != p.mel_features:
+            raise ValueError(f"encoder x shape {x_shape} inconsistent with params")
+    h_shape = enc_graph.input_shapes.get("h") or enc_graph.input_shapes.get(
+        enc_graph.inputs[1]
+    )
+    c_shape = enc_graph.input_shapes.get("c") or enc_graph.input_shapes.get(
+        enc_graph.inputs[2]
+    )
+
+    interp_fns = _interp_runtime_fns(enc_graph, dec_graph, joi_graph, h_shape, c_shape)
+
+    kind = "interp"
+    dims = None
+    weights: Dict = interp_fns[0]
+    enc, dec, joi = interp_fns[1], interp_fns[2], interp_fns[3]
+
+    if prefer_native:
+        try:
+            dims, native_w = extract_transducer(
+                enc_graph,
+                dec_graph,
+                joi_graph,
+                segment_size=p.segment_size,
+                segment_step=p.segment_step,
+                mel=p.mel_features,
+            )
+            mismatch = _verify_native(dims, native_w, interp_fns)
+            if mismatch is None:
+                kind = "native"
+                weights = {k: jnp.asarray(v) for k, v in native_w.items()}
+                enc, dec, joi = _native_runtime_fns(dims)
+                log.info("model %s: native extraction verified", container.name)
+            else:
+                log.warning(
+                    "model %s: native extraction failed verification (%s); "
+                    "using interpreter path",
+                    container.name,
+                    mismatch,
+                )
+                dims = None
+        except ExtractionError as e:
+            log.info(
+                "model %s: graphs don't match native architecture (%s); "
+                "using interpreter path",
+                container.name,
+                e,
+            )
+
+    if dims is None:
+        # Interpreter path: dims for state allocation from graph input shapes.
+        if h_shape is None or c_shape is None:
+            raise ValueError("encoder graph lacks h/c input shapes")
+        logits_shape = joi_graph.output_shapes.get(joi_graph.outputs[0])
+        vocab = p.token_count
+        if logits_shape is not None and logits_shape[-1] != vocab:
+            # reference: april_model.c:102
+            raise ValueError(
+                f"joiner logits dim {logits_shape[-1]} != token count {vocab}"
+            )
+        dims = TransducerDims(
+            mel=p.mel_features,
+            segment_size=p.segment_size,
+            segment_step=p.segment_step,
+            d_model=h_shape[2],
+            hidden=c_shape[2],
+            joiner_dim=0,
+            vocab=vocab,
+            layers=h_shape[0],
+            context=p.token_count and (dec_graph.input_shapes.get(dec_graph.inputs[0], [1, 2])[1]),
+        )
+
+    if p.token_count != dims.vocab:
+        raise ValueError(
+            f"params token count {p.token_count} != model vocab {dims.vocab}"
+        )
+
+    state_shapes = (
+        (dims.layers, dims.d_model),
+        (dims.layers, dims.hidden),
+    )
+
+    return ModelRuntime(
+        name=container.name,
+        description=container.description,
+        language=container.language,
+        params=p,
+        fbank_opts=_fbank_opts_from_params(p),
+        vocab=build_vocab_tables(p),
+        dims=dims,
+        kind=kind,
+        weights=weights,
+        encoder_step=enc,
+        decoder_step=dec,
+        joiner=joi,
+        state_shapes=state_shapes,
+    )
+
+
+def _load_native_container(container: AprilContainer) -> ModelRuntime:
+    """Native checkpoint form: single safetensors network blob."""
+    from ..io.safetensors import load_safetensors_bytes
+
+    p = container.params
+    tensors, meta = load_safetensors_bytes(container.networks[0])
+    dims = TransducerDims(**{
+        k: (tuple(v) if k == "conv_channels" else v)
+        for k, v in meta["dims"].items()
+    })
+    weights = {k: jnp.asarray(v) for k, v in tensors.items()}
+    enc, dec, joi = _native_runtime_fns(dims)
+    return ModelRuntime(
+        name=container.name,
+        description=container.description,
+        language=container.language,
+        params=p,
+        fbank_opts=_fbank_opts_from_params(p),
+        vocab=build_vocab_tables(p),
+        dims=dims,
+        kind="native",
+        weights=weights,
+        encoder_step=enc,
+        decoder_step=dec,
+        joiner=joi,
+        state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
+    )

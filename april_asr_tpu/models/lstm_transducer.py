@@ -1,0 +1,306 @@
+"""Native batched LSTM-transducer forward pass (encoder / decoder / joiner).
+
+TPU-first redesign of the three networks the reference runs through
+ONNXRuntime at batch 1 (reference: src/april_session.c:131-179, architecture
+exported by extra/export-april.py:183-224 from icefall's
+lstm_transducer_stateless2):
+
+  * All functions are batched over a leading session/utterance axis S — the
+    central scaling axis (SURVEY.md §2.4). Weight matrices are stored
+    pre-transposed for right-multiplication so every hot op is a single
+    [S, in] x [in, out] MXU matmul.
+  * The 12-layer LSTM stack runs as a lax.scan over stacked per-layer
+    parameters ([L, ...] leaves) — one compiled layer body regardless of L.
+  * Gate order is i f g o (torch/icefall convention); the ONNX extractor
+    (models/extract.py) normalizes into this layout.
+  * Dtype policy: parameters may be float32 or bfloat16; matmuls accumulate
+    in float32 via preferred_element_type.
+
+Dimensions follow the canonical reference model (src/april_model.h:35-41):
+mel=80, segment=9, d_model=512, hidden=1024, joiner_dim=512, vocab=500,
+layers=12, context=2; all are configurable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class TransducerDims:
+    mel: int = 80
+    segment_size: int = 9
+    segment_step: int = 4
+    d_model: int = 512
+    hidden: int = 1024
+    ffn: int = 2048
+    joiner_dim: int = 512
+    vocab: int = 500
+    layers: int = 12
+    context: int = 2
+    decoder_groups: int = 128
+    # Conv subsampling channels (time reduction 9 -> 1, like the reference's
+    # encoder embed; see testing.py ConvSubsample).
+    conv_channels: Tuple[int, int, int] = (8, 32, 32)
+
+    @property
+    def conv_freq_out(self) -> int:
+        return ((self.mel - 1) // 2 - 1) // 2
+
+    @property
+    def subsampled_t(self) -> int:
+        t = self.segment_size  # conv1: pad 1 keeps T
+        t = (t - 3) // 2 + 1  # conv2 stride 2
+        t = (t - 3) // 2 + 1  # conv3 stride 2
+        return t
+
+
+Params = Dict[str, jnp.ndarray]
+
+
+def init_transducer_params(
+    rng: jax.Array, dims: TransducerDims, dtype=jnp.float32
+) -> Params:
+    """Random init with small scales (for tests/benches; real weights come
+    from .april extraction or a native checkpoint)."""
+    d, H, F, J, V, L = (
+        dims.d_model,
+        dims.hidden,
+        dims.ffn,
+        dims.joiner_dim,
+        dims.vocab,
+        dims.layers,
+    )
+    c1, c2, c3 = dims.conv_channels
+    keys = jax.random.split(rng, 24)
+    k = iter(keys)
+
+    def w(key, shape, scale=None):
+        scale = scale if scale is not None else 1.0 / np.sqrt(shape[0])
+        return (jax.random.normal(key, shape) * scale).astype(dtype)
+
+    params: Params = {
+        # conv subsampling (NCHW / OIHW layouts)
+        "conv1_w": w(next(k), (c1, 1, 3, 3), 0.3),
+        "conv1_b": jnp.zeros(c1, dtype),
+        "conv2_w": w(next(k), (c2, c1, 3, 3), 0.1),
+        "conv2_b": jnp.zeros(c2, dtype),
+        "conv3_w": w(next(k), (c3, c2, 3, 3), 0.1),
+        "conv3_b": jnp.zeros(c3, dtype),
+        "embed_out_w": w(next(k), (c3 * dims.conv_freq_out, d)),
+        "embed_out_b": jnp.zeros(d, dtype),
+        # stacked LSTM layers, pre-transposed: x[S,d] @ w_ih_t[d,4H]
+        "w_ih_t": w(next(k), (L, d, 4 * H), 0.05),
+        "w_hh_t": w(next(k), (L, d, 4 * H), 0.05),
+        "bias": jnp.zeros((L, 4 * H), dtype),
+        "w_hr_t": w(next(k), (L, H, d), 0.05),
+        "ff1_t": w(next(k), (L, d, F)),
+        "ff1_b": jnp.zeros((L, F), dtype),
+        "ff2_t": w(next(k), (L, F, d)),
+        "ff2_b": jnp.zeros((L, d), dtype),
+        "norm_eps": jnp.full((L,), 0.25, dtype),
+        # encoder -> joiner projection
+        "enc_proj_t": w(next(k), (d, J)),
+        "enc_proj_b": jnp.zeros(J, dtype),
+        # decoder (stateless 2-gram): embedding + grouped context conv + proj
+        "dec_embed": w(next(k), (V, d), 0.5),
+        "dec_conv_w": w(next(k), (d, d // dims.decoder_groups, dims.context), 0.3),
+        "dec_proj_t": w(next(k), (d, J)),
+        "dec_proj_b": jnp.zeros(J, dtype),
+        # joiner
+        "join_t": w(next(k), (J, V)),
+        "join_b": jnp.zeros(V, dtype),
+    }
+    return params
+
+
+def _double_swish(x):
+    """x * sigmoid(x - 1) (icefall DoubleSwish; fused by XLA)."""
+    return x * jax.nn.sigmoid(x - 1.0)
+
+
+def _basic_norm(x, eps):
+    """x * rsqrt(mean(x^2) + eps) (icefall BasicNorm inference form)."""
+    return x * jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+
+
+def conv_subsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """[S, T, mel] -> [S, T', d_model] via the 3-conv stack (T'=(T-1)//2-1)//2)."""
+    h = x[:, None, :, :]  # NCHW: [S, 1, T, mel]
+
+    def conv(h, wname, bname, stride, pad):
+        w = params[wname]
+        y = jax.lax.conv_general_dilated(
+            h,
+            w,
+            (stride, stride),
+            [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        return _double_swish(y + params[bname][None, :, None, None])
+
+    h = conv(h, "conv1_w", "conv1_b", 1, 1)
+    h = conv(h, "conv2_w", "conv2_b", 2, 0)
+    h = conv(h, "conv3_w", "conv3_b", 2, 0)
+    s, ch, t, f = h.shape
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(s, t, ch * f)
+    return (
+        jnp.dot(h, params["embed_out_w"], preferred_element_type=jnp.float32)
+        + params["embed_out_b"]
+    )
+
+
+def _lstm_stack_step(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One timestep through all L encoder layers.
+
+    x: [S, d]; h: [L, S, d]; c: [L, S, hidden]. Scans over stacked layer
+    params so the compiled body is layer-count independent.
+    """
+
+    def layer(x, scan_in):
+        (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
+        gates = (
+            jnp.dot(x, w_ih_t, preferred_element_type=jnp.float32)
+            + jnp.dot(h_l, w_hh_t, preferred_element_type=jnp.float32)
+            + bias
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new = jnp.dot(hc, w_hr_t, preferred_element_type=jnp.float32)
+
+        y = x + h_new  # residual LSTM
+        ff = (
+            jnp.dot(
+                _double_swish(jnp.dot(y, ff1_t, preferred_element_type=jnp.float32) + ff1_b),
+                ff2_t,
+                preferred_element_type=jnp.float32,
+            )
+            + ff2_b
+        )
+        y = _basic_norm(y + ff, eps)
+        return y, (h_new, c_new)
+
+    scan_ins = (
+        params["w_ih_t"],
+        params["w_hh_t"],
+        params["bias"],
+        params["w_hr_t"],
+        params["ff1_t"],
+        params["ff1_b"],
+        params["ff2_t"],
+        params["ff2_b"],
+        params["norm_eps"],
+        h,
+        c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
+    return y, h_new, c_new
+
+
+def encoder_step(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One streaming encoder step: a [S, segment, mel] window -> [S, joiner_dim].
+
+    Batched equivalent of the reference's encoder Run with state double-buffer
+    (april_session.c:131-148); the 9-frame window subsamples to one timestep.
+    """
+    y = conv_subsample(params, x)  # [S, T'=1, d]
+    y = y[:, 0, :]
+    y, h_new, c_new = _lstm_stack_step(params, y, h, c)
+    eout = (
+        jnp.dot(y, params["enc_proj_t"], preferred_element_type=jnp.float32)
+        + params["enc_proj_b"]
+    )
+    return eout, h_new, c_new
+
+
+def encoder_seq(
+    params: Params, mel: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, dims: TransducerDims
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Offline/full-utterance encoder: [S, T, mel] -> [S, W, joiner_dim] where
+    W = (T - segment)//step + 1 overlapping windows, replicating the streaming
+    windowing exactly (fbank FIFO pull semantics, fbank.c:327-349)."""
+    seg, step = dims.segment_size, dims.segment_step
+    T = mel.shape[1]
+    W = (T - seg) // step + 1
+    starts = jnp.arange(W) * step
+    # [S, W, seg, mel]
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(mel, s, seg, axis=1), out_axes=1
+    )(starts)
+    S = mel.shape[0]
+    flat = windows.reshape(S * W, seg, mel.shape[-1])
+    sub = conv_subsample(params, flat)[:, 0, :].reshape(S, W, -1)  # [S, W, d]
+
+    def step_fn(carry, x_t):
+        h, c = carry
+        y, h2, c2 = _lstm_stack_step(params, x_t, h, c)
+        return (h2, c2), y
+
+    (h_new, c_new), ys = jax.lax.scan(step_fn, (h, c), jnp.swapaxes(sub, 0, 1))
+    ys = jnp.swapaxes(ys, 0, 1)  # [S, W, d]
+    eout = (
+        jnp.dot(ys, params["enc_proj_t"], preferred_element_type=jnp.float32)
+        + params["enc_proj_b"]
+    )
+    return eout, h_new, c_new
+
+
+def decoder_step(params: Params, context: jnp.ndarray, dims: TransducerDims) -> jnp.ndarray:
+    """Stateless decoder: [S, context] int tokens -> [S, joiner_dim].
+
+    Embedding lookup + grouped conv over the context window + relu + proj
+    (the reference runs this graph on every emission, april_session.c:181-196).
+    """
+    emb = jnp.take(params["dec_embed"], context.astype(jnp.int32), axis=0)  # [S, ctx, d]
+    # Grouped 1-D conv with kernel size == context collapses to a single
+    # position: output[o] = sum_{g-slice, k} emb[k, i] * w[o, i, k].
+    w = params["dec_conv_w"]  # [d, d/groups, ctx]
+    d = w.shape[0]
+    groups = dims.decoder_groups
+    gin = d // groups
+    S = emb.shape[0]
+    # [S, ctx, groups, gin] -> [S, groups, gin*ctx]
+    emb_g = emb.reshape(S, dims.context, groups, gin).transpose(0, 2, 3, 1)
+    emb_g = emb_g.reshape(S, groups, gin * dims.context)
+    # w: [groups, gout, gin, ctx] -> [groups, gin*ctx, gout]
+    gout = d // groups
+    w_g = w.reshape(groups, gout, gin, dims.context).transpose(0, 2, 3, 1)
+    w_g = w_g.reshape(groups, gin * dims.context, gout)
+    y = jnp.einsum("sgi,gio->sgo", emb_g, w_g, preferred_element_type=jnp.float32)
+    y = y.reshape(S, d)
+    y = jax.nn.relu(y)
+    return (
+        jnp.dot(y, params["dec_proj_t"], preferred_element_type=jnp.float32)
+        + params["dec_proj_b"]
+    )
+
+
+def joiner_logits(params: Params, eout: jnp.ndarray, dout: jnp.ndarray) -> jnp.ndarray:
+    """[S, J] + [S, J] -> [S, vocab] logits (tanh joiner, export-april.py:317-331)."""
+    return (
+        jnp.dot(
+            jnp.tanh(eout + dout), params["join_t"], preferred_element_type=jnp.float32
+        )
+        + params["join_b"]
+    )
+
+
+def init_streaming_state(
+    dims: TransducerDims, batch: int, dtype=jnp.float32
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero LSTM carry (h, c) for `batch` sessions: [L, S, d], [L, S, hidden]."""
+    return (
+        jnp.zeros((dims.layers, batch, dims.d_model), dtype),
+        jnp.zeros((dims.layers, batch, dims.hidden), dtype),
+    )
