@@ -1,0 +1,63 @@
+"""Model API mirroring the reference Python binding's Model class
+(reference: bindings/python/april_asr/_april.py:59-96, C API
+april_api.h:58-74)."""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Optional, Tuple
+
+from ..config import DecodeConfig, EngineConfig
+from ..models.loader import ModelRuntime, load_model
+
+
+class Model:
+    """A loaded `.april` speech-to-text model.
+
+    Many sessions may share one Model (the reference's multi-session pattern,
+    april-docs/src/concepts.md:41-46); sessions created from the same Model
+    share weights on device.
+    """
+
+    def __init__(self, path: str | os.PathLike, prefer_native: bool = True):
+        self._rt: ModelRuntime = load_model(path, prefer_native=prefer_native)
+        # Shared engines keyed by (batch, chunk) — sessions attach to slots.
+        self._engines: Dict[Tuple[int, int], object] = {}
+        self._lock = threading.Lock()
+
+    def get_name(self) -> str:
+        return self._rt.name
+
+    def get_description(self) -> str:
+        return self._rt.description
+
+    def get_language(self) -> str:
+        return self._rt.language
+
+    def get_sample_rate(self) -> int:
+        return self._rt.sample_rate
+
+    @property
+    def runtime(self) -> ModelRuntime:
+        return self._rt
+
+    def _get_program(
+        self,
+        batch: int,
+        cfg: Optional[EngineConfig] = None,
+        dcfg: Optional[DecodeConfig] = None,
+    ):
+        """Cached compiled engine program (shared across sessions/engines of
+        the same shape, so N sessions don't trigger N compilations)."""
+        from ..engine.step import build_engine
+
+        cfg = cfg or EngineConfig()
+        dcfg = dcfg or DecodeConfig()
+        key = (batch, cfg.chunk_samples)
+        with self._lock:
+            prog = self._engines.get(key)
+            if prog is None:
+                prog = build_engine(self._rt, batch, cfg, dcfg)
+                self._engines[key] = prog
+            return prog

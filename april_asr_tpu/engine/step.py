@@ -1,0 +1,263 @@
+"""Fused batched engine step: audio chunk -> fbank -> encoder -> decode events.
+
+This is the TPU replacement for the reference's per-session synchronous loop
+(_aas_feed_pcm16 -> fbank_accept_waveform -> aas_infer,
+src/april_session.c:501-533 and :431-476): ONE jitted XLA program advances ALL
+sessions by one audio chunk — feature extraction as batched FFT+matmul, the
+pull loop as a lax.scan with masked per-session participation, the ≤3-symbol
+inner decode loop unrolled with done-masks, and all handler-visible actions
+emitted as event records for host replay. The flush program reproduces
+_aas_flush (:547-564) as fixed-bound masked rounds.
+
+Shapes are static everywhere: sessions that can't pull this round are masked,
+not skipped — the classic SIMD-ification of RNN-T greedy decode (SURVEY.md §7
+"hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DecodeConfig, EngineConfig
+from ..decode import events as ev
+from ..decode.greedy import (
+    decode_step,
+    init_decode_state,
+    vocab_tables_device,
+)
+from ..frontend.fbank import (
+    FbankLayout,
+    fbank_accept,
+    fbank_advance,
+    fbank_flush_pad,
+    fbank_init,
+    fbank_peek,
+)
+from ..models.loader import ModelRuntime
+
+INNER_STEPS_EMIT = (1.0, 0.0, 0.0)  # early-emit ramp (april_session.c:449-453)
+
+
+def _empty_pull_events(S: int) -> Dict[str, jnp.ndarray]:
+    z = jnp.zeros((S, len(INNER_STEPS_EMIT)), jnp.int32)
+    return {
+        "ops": z,
+        "tok": z,
+        "logprob": jnp.zeros_like(z, jnp.float32),
+        "flags": z,
+        "time_ms": z,
+        "final_k": z,
+    }
+
+
+@dataclasses.dataclass
+class EngineProgram:
+    """Compiled batched programs for one model + chunk configuration."""
+
+    rt: ModelRuntime
+    layout: FbankLayout
+    cfg: EngineConfig
+    dcfg: DecodeConfig
+    step: Callable  # (weights, state, audio_i16 [S,chunk], n [S]) -> (state, events)
+    flush: Callable  # (weights, state, do_flush [S]) -> (state, events)
+    batch: int
+
+    @property
+    def stride_ms(self) -> int:
+        return self.layout.opts.segment_stride_ms
+
+
+def init_engine_state(prog: EngineProgram, weights=None) -> Dict:
+    """Fresh state for `prog.batch` sessions. The decoder is primed with the
+    all-blank context (equivalent to the reference's first-infer priming,
+    april_session.c:432-438)."""
+    rt = prog.rt
+    S = prog.batch
+    weights = rt.weights if weights is None else weights
+    fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
+    dims = rt.dims
+    dstate = init_decode_state(
+        S, dims.context, max(dims.joiner_dim, 1), rt.blank_id, prog.dcfg
+    )
+    dstate["dout"] = rt.decoder_step(weights, dstate["context"])
+    dstate["dout_init"] = jnp.ones(S, bool)
+    h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
+    c = jnp.zeros((rt.state_shapes[1][0], S, rt.state_shapes[1][1]), jnp.float32)
+    return {"fbank": fb, "h": h, "c": c, "decode": dstate}
+
+
+def build_engine(
+    rt: ModelRuntime,
+    batch: int,
+    cfg: EngineConfig | None = None,
+    dcfg: DecodeConfig | None = None,
+) -> EngineProgram:
+    cfg = cfg or EngineConfig()
+    dcfg = dcfg or DecodeConfig()
+    layout = FbankLayout.build(rt.fbank_opts, cfg.chunk_samples)
+    vt = vocab_tables_device(rt.vocab)
+    blank = rt.blank_id
+    stride = layout.opts.segment_stride_ms
+    seg = layout.opts.pull_segment_count
+    P = layout.max_pulls_per_step
+
+    v_accept = jax.vmap(lambda s, w, n: fbank_accept(layout, s, w, n))
+    v_peek = jax.vmap(lambda s: fbank_peek(layout, s))
+    v_advance = jax.vmap(lambda s, d: fbank_advance(layout, s, d))
+    v_flush_pad = jax.vmap(lambda s: fbank_flush_pad(layout, s))
+
+    def pull_once(weights, fb, h, c, dstate):
+        """One fbank pull + encoder step + masked inner decode loop.
+
+        Returns updated states and a [S, 3] event group.
+        """
+        can = fb["fifo_len"] >= seg
+        x = v_peek(fb)  # [S, seg, mel]
+        dstate = dict(dstate)
+        dstate["time_ms"] = dstate["time_ms"] + stride * can.astype(jnp.int32)
+
+        eout, h2, c2 = rt.encoder_step(weights, x, h, c)
+        m3 = can[None, :, None]
+        h = jnp.where(m3, h2, h)
+        c = jnp.where(m3, c2, c)
+
+        done = ~can
+        evts = []
+        for ee in INNER_STEPS_EMIT:
+            logits = rt.joiner(weights, eout, dstate["dout"])
+            dstate, evt, is_blank, need_dec = decode_step(
+                dstate, logits, ~done, ee, blank, vt, dcfg
+            )
+            new_dout = rt.decoder_step(weights, dstate["context"])
+            dstate["dout"] = jnp.where(need_dec[:, None], new_dout, dstate["dout"])
+            done = done | is_blank
+            evts.append(evt)
+
+        fb = v_advance(fb, can)
+        events = {k: jnp.stack([e[k] for e in evts], axis=1) for k in evts[0]}
+        return fb, h, c, dstate, events
+
+    def step_body(weights, state, audio_f32, n):
+        """Accept one chunk then drain all pulls (aas_infer's while loop)."""
+        fb = v_accept(state["fbank"], audio_f32, n)
+        h, c, dstate = state["h"], state["c"], state["decode"]
+
+        def scan_body(carry, _):
+            fb, h, c, dstate = carry
+            fb, h, c, dstate, events = pull_once(weights, fb, h, c, dstate)
+            return (fb, h, c, dstate), events
+
+        (fb, h, c, dstate), events = jax.lax.scan(
+            scan_body, (fb, h, c, dstate), None, length=P
+        )
+        # events leaves: [P, S, 3] -> [S, P, 3]
+        events = {k: jnp.transpose(v, (1, 0, 2)) for k, v in events.items()}
+        state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
+        return state, events
+
+    def step(weights, state, audio_i16, n):
+        audio = audio_i16.astype(jnp.float32) / 32768.0  # april_session.c:520-522
+        return step_body(weights, state, audio, n)
+
+    def flush_round(weights, carry, _):
+        """One `while fbank_flush: aas_infer` round (masked): pad to seg if
+        the debt bound allows, then a single pull-infer."""
+        fb, h, c, dstate, flushing = carry
+        padded, did = v_flush_pad(fb)
+        do = flushing & did
+        fb = {k: jnp.where(_bmask(do, fb[k]), padded[k], fb[k]) for k in fb}
+        # gate the pull on sessions still flushing
+        fb_gated = dict(fb)
+        fb_gated["fifo_len"] = jnp.where(do, fb["fifo_len"], 0)
+        fb2, h, c, dstate, events = pull_once(weights, fb_gated, h, c, dstate)
+        fb = {
+            k: jnp.where(_bmask(do, fb[k]), fb2[k], fb[k]) for k in fb
+        }
+        return (fb, h, c, dstate, flushing), events
+
+    def _bmask(mask, arr):
+        """Broadcast [S] mask against an [S, ...] array."""
+        return mask.reshape(mask.shape + (1,) * (arr.ndim - 1))
+
+    def flush(weights, state, do_flush):
+        """_aas_flush (:547-564) for the masked sessions."""
+        fb, h, c, dstate = state["fbank"], state["h"], state["c"], state["decode"]
+        S = do_flush.shape[0]
+
+        # Phase A: drain + pad rounds until the debt bound stops padding.
+        (fb, h, c, dstate, _), evA = jax.lax.scan(
+            functools.partial(flush_round, weights),
+            (fb, h, c, dstate, do_flush),
+            None,
+            length=12,
+        )
+
+        # Phase B: two zero chunks accepted without inference (:555-556).
+        zeros = jnp.zeros((S, layout.chunk), jnp.float32)
+        nz = jnp.where(do_flush, layout.chunk, 0).astype(jnp.int32)
+        fb = v_accept(fb, zeros, nz)
+        fb = v_accept(fb, zeros, nz)
+
+        # Phase C: drain + pad rounds again (:558-559).
+        (fb, h, c, dstate, _), evC = jax.lax.scan(
+            functools.partial(flush_round, weights),
+            (fb, h, c, dstate, do_flush),
+            None,
+            length=24,
+        )
+
+        # Phase D: finalize + clear context + silence (:561-563).
+        dstate = dict(dstate)
+        head = dstate["head"]
+        fin = do_flush & (head > 0)
+        evD = {
+            "ops": (
+                jnp.where(fin, ev.OP_FINAL, 0)
+                | jnp.where(do_flush & ~dstate["emitted_silence"], ev.OP_SILENCE, 0)
+            ).astype(jnp.int32),
+            "tok": jnp.zeros(S, jnp.int32),
+            "logprob": jnp.zeros(S, jnp.float32),
+            "flags": jnp.zeros(S, jnp.int32),
+            "time_ms": dstate["time_ms"],
+            "final_k": jnp.where(fin, head, 0),
+        }
+        dstate["last_call"] = jnp.where(fin, head, dstate["last_call"])
+        dstate["head"] = jnp.where(fin, 0, head)
+        do_clear = do_flush & (dstate["context"][:, 0] != blank)
+        dstate["context"] = jnp.where(
+            do_clear[:, None], jnp.int32(blank), dstate["context"]
+        )
+        new_dout = rt.decoder_step(weights, dstate["context"])
+        dstate["dout"] = jnp.where(do_clear[:, None], new_dout, dstate["dout"])
+        dstate["emitted_silence"] = jnp.where(do_flush, True, dstate["emitted_silence"])
+
+        # Stack event groups: A [12,S,3], C [24,S,3], D [S] -> [S, 37, 3]
+        evA = {k: jnp.transpose(v, (1, 0, 2)) for k, v in evA.items()}
+        evC = {k: jnp.transpose(v, (1, 0, 2)) for k, v in evC.items()}
+        evD3 = {
+            k: jnp.concatenate(
+                [v[:, None, None], jnp.zeros((S, 1, 2), v.dtype)], axis=2
+            )
+            for k, v in evD.items()
+        }
+        events = {
+            k: jnp.concatenate([evA[k], evC[k], evD3[k]], axis=1) for k in evA
+        }
+        state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
+        return state, events
+
+    return EngineProgram(
+        rt=rt,
+        layout=layout,
+        cfg=cfg,
+        dcfg=dcfg,
+        step=jax.jit(step, donate_argnums=(1,)),
+        flush=jax.jit(flush, donate_argnums=(1,)),
+        batch=batch,
+    )

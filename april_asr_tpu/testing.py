@@ -326,3 +326,132 @@ def write_test_april(path, cfg: FixtureConfig | None = None, name="Test Model"):
     )
     write_container(path, container)
     return cfg
+
+
+class ScalarSession:
+    """Single-session behavioral oracle: same device primitives as the engine
+    (batch-1 vmapped fbank, the model runtime's batched step functions at S=1)
+    but with the decode state machine run in scalar host Python
+    (decode/scalar.py). Used to validate the fused batched engine
+    callback-for-callback; also a debugging aid.
+
+    Mirrors the reference sync session loop: _aas_feed_pcm16 chunking
+    (april_session.c:501-533), aas_infer pull loop (:431-476), _aas_flush
+    (:547-564).
+    """
+
+    def __init__(self, rt, handler, chunk: int = 3200):
+        import jax
+        import jax.numpy as jnp
+
+        from .config import DecodeConfig
+        from .decode.scalar import ScalarDecoder
+        from .frontend import fbank as fbk
+
+        self._jnp = jnp
+        self.rt = rt
+        self.handler = handler
+        self.chunk = chunk
+        self.layout = fbk.FbankLayout.build(rt.fbank_opts, chunk)
+        self.fbk = fbk
+        self._accept = jax.jit(
+            jax.vmap(lambda s, w, n: fbk.fbank_accept(self.layout, s, w, n))
+        )
+        self._flush_pad = jax.jit(
+            jax.vmap(lambda s: fbk.fbank_flush_pad(self.layout, s))
+        )
+        self._advance = jax.jit(
+            jax.vmap(lambda s, d: fbk.fbank_advance(self.layout, s, d))
+        )
+        self.fb = jax.vmap(lambda _: fbk.fbank_init(self.layout))(jnp.arange(1))
+
+        L, dh = rt.state_shapes[0]
+        _, dc = rt.state_shapes[1]
+        self.h = jnp.zeros((L, 1, dh), jnp.float32)
+        self.c = jnp.zeros((L, 1, dc), jnp.float32)
+        self.dout = None
+
+        def run_decoder(context):
+            import numpy as _np
+
+            self.dout = rt.decoder_step(
+                rt.weights, jnp.asarray(_np.asarray(context, _np.int32)[None])
+            )
+
+        self.dec = ScalarDecoder(
+            rt.params,
+            rt.vocab,
+            DecodeConfig(),
+            handler,
+            run_decoder,
+            context_size=rt.dims.context,
+        )
+        # priming (april_session.c:432-438)
+        for _ in range(self.dec.context_size):
+            self.dec.update_context(self.dec.blank)
+        self.was_flushed = False
+
+    def _infer(self):
+        jnp = self._jnp
+        while bool(self.fbk.fbank_can_pull(self.layout, _first(self.fb))):
+            x = self.fbk.fbank_peek(self.layout, _first(self.fb))[None]
+            self.dec.time_ms += self.layout.opts.segment_stride_ms
+            eout, self.h, self.c = self.rt.encoder_step(
+                self.rt.weights, x, self.h, self.c
+            )
+            for ee in (1.0, 0.0, 0.0):
+                logits = self.rt.joiner(self.rt.weights, eout, self.dout)
+                import numpy as _np
+
+                if self.dec.process_logits(_np.asarray(logits)[0], ee):
+                    break
+            self.fb = self._advance(self.fb, jnp.ones(1, bool))
+
+    def feed_pcm16(self, pcm16):
+        import numpy as _np
+
+        jnp = self._jnp
+        self.was_flushed = False
+        pcm = _np.asarray(pcm16, _np.int16)
+        for off in range(0, len(pcm), self.chunk):
+            piece = pcm[off : off + self.chunk]
+            buf = _np.zeros(self.chunk, _np.float32)
+            buf[: len(piece)] = piece.astype(_np.float32) / 32768.0
+            self.fb = self._accept(
+                self.fb, jnp.asarray(buf)[None], jnp.asarray([len(piece)], jnp.int32)
+            )
+            self._infer()
+
+    def flush(self):
+        import numpy as _np
+
+        jnp = self._jnp
+        if self.was_flushed:
+            return
+        self.was_flushed = True
+        for _ in range(64):
+            self.fb, did = _split_did(self._flush_pad(self.fb))
+            if not did:
+                break
+            self._infer()
+        zeros = jnp.zeros((1, self.chunk), jnp.float32)
+        nz = jnp.asarray([self.chunk], jnp.int32)
+        self.fb = self._accept(self.fb, zeros, nz)
+        self.fb = self._accept(self.fb, zeros, nz)
+        for _ in range(64):
+            self.fb, did = _split_did(self._flush_pad(self.fb))
+            if not did:
+                break
+            self._infer()
+        self.dec.finalize_tokens()
+        self.dec.clear_context()
+        self.dec.emit_silence()
+
+
+def _first(batched_state):
+    return {k: v[0] for k, v in batched_state.items()}
+
+
+def _split_did(res):
+    state, did = res
+    return state, bool(did[0])
