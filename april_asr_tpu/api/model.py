@@ -10,6 +10,30 @@ from typing import Dict, Optional, Tuple
 
 from ..config import DecodeConfig, EngineConfig
 from ..models.loader import ModelRuntime, load_model
+from ..utils import logging as log
+
+_cache_enabled = False
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache so CLI/server restarts reuse compiled
+    engine programs (first compile of the fused step is expensive on TPU)."""
+    global _cache_enabled
+    if _cache_enabled:
+        return
+    _cache_enabled = True
+    try:
+        import jax
+
+        path = os.environ.get(
+            "APRIL_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "april_asr_tpu", "jaxcache"),
+        )
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        log.debug("compilation cache unavailable: %s", e)
 
 
 class Model:
@@ -21,6 +45,7 @@ class Model:
     """
 
     def __init__(self, path: str | os.PathLike, prefer_native: bool = True):
+        _enable_compile_cache()
         self._rt: ModelRuntime = load_model(path, prefer_native=prefer_native)
         # Shared engines keyed by (batch, chunk) — sessions attach to slots.
         self._engines: Dict[Tuple[int, int], object] = {}

@@ -1,0 +1,152 @@
+"""Streaming transcription server: many concurrent sessions over TCP.
+
+Where the reference offers in-process C#/Java bindings (bindings/csharp,
+bindings/java), this framework's cross-language surface is a network protocol:
+any language can stream PCM16 over a socket and receive JSON results. Sessions
+share one batched TPU engine (slot per connection).
+
+Protocol (client -> server), little-endian framed:
+    [u8 opcode][u32 length][payload]
+    opcode 1 = audio (payload: PCM16 mono samples at the model rate)
+    opcode 2 = flush (no payload)
+Server -> client: newline-delimited JSON:
+    {"result": "partial"|"final"|"silence"|"cant_keep_up",
+     "text": "...", "tokens": [{"t": str, "lp": float, "wb": bool,
+     "se": bool, "time": float}]}
+
+Example client:
+
+    import socket, struct, json
+    s = socket.create_connection(("localhost", 8765))
+    s.sendall(struct.pack("<BI", 1, len(pcm)) + pcm)   # audio bytes
+    s.sendall(struct.pack("<BI", 2, 0))                 # flush
+    for line in s.makefile():
+        print(json.loads(line))
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import socketserver
+import struct
+import sys
+import threading
+import time
+
+import numpy as np
+
+RESULT_NAMES = {1: "partial", 2: "final", 3: "cant_keep_up", 4: "silence"}
+
+
+class _Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, handler_cls, engine, params):
+        super().__init__(addr, handler_cls)
+        self.engine = engine
+        self.params = params
+        self._tick_thread = threading.Thread(target=self._tick_loop, daemon=True)
+        self._tick_thread.start()
+
+    def _tick_loop(self):
+        while True:
+            if not self.engine.tick():
+                time.sleep(0.005)
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        engine = self.server.engine
+        params = self.server.params
+        sock = self.request
+        send_lock = threading.Lock()
+
+        def on_result(result_type, tokens):
+            msg = {
+                "result": RESULT_NAMES.get(result_type, "unknown"),
+                "text": "".join(params.token_str(t.token_id) for t in tokens),
+                "tokens": [
+                    {
+                        "t": params.token_str(t.token_id),
+                        "lp": round(t.logprob, 3),
+                        "wb": bool(t.flags & 1),
+                        "se": bool(t.flags & 2),
+                        "time": t.time_ms / 1000.0,
+                    }
+                    for t in tokens
+                ],
+            }
+            data = (json.dumps(msg) + "\n").encode()
+            with send_lock:
+                try:
+                    sock.sendall(data)
+                except OSError:
+                    pass
+
+        try:
+            slot = engine.alloc(on_result)
+        except RuntimeError:
+            sock.sendall(b'{"error": "no free session slots"}\n')
+            return
+
+        try:
+            while True:
+                header = self._recv_exact(5)
+                if header is None:
+                    break
+                opcode, length = struct.unpack("<BI", header)
+                payload = self._recv_exact(length) if length else b""
+                if payload is None:
+                    break
+                if opcode == 1:
+                    engine.feed(slot, np.frombuffer(payload, dtype="<i2"))
+                elif opcode == 2:
+                    mask = np.zeros(engine.batch, bool)
+                    mask[slot] = True
+                    engine.flush(mask)
+                else:
+                    break
+        finally:
+            engine.free(slot)
+
+    def _recv_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.request.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("model", help=".april model path")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--slots", type=int, default=32, help="max concurrent sessions")
+    args = ap.parse_args(argv)
+
+    from ..api import Model
+    from ..engine.batch import BatchEngine
+
+    model = Model(args.model)
+    engine = BatchEngine(model.runtime, batch=args.slots)
+    print(
+        f"serving {model.get_name()} on {args.host}:{args.port} "
+        f"({args.slots} slots, {model.get_sample_rate()} Hz)",
+        file=sys.stderr,
+    )
+    server = _Server((args.host, args.port), _Handler, engine, model.runtime.params)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

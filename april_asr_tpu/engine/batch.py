@@ -60,10 +60,29 @@ class BatchEngine:
         self.batch = batch
         self.weights = rt.weights
         self.state = init_engine_state(self.prog)
-        self._init_state_template = jax.tree.map(np.asarray, self.state)
+        self._init_state = self.state  # kept on device as the reset template
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
         self._lock = threading.Lock()
+
+        @jax.jit
+        def _reset(state, init_state, idx):
+            def reset_leaf(leaf, init_leaf, s_axis):
+                sel = (slice(None),) * s_axis + (idx,)
+                init_sel = (slice(None),) * s_axis + (0,)
+                return leaf.at[sel].set(init_leaf[init_sel])
+
+            out = {}
+            for group in ("fbank", "decode"):
+                out[group] = {
+                    k: reset_leaf(state[group][k], init_state[group][k], 0)
+                    for k in state[group]
+                }
+            out["h"] = reset_leaf(state["h"], init_state["h"], 1)
+            out["c"] = reset_leaf(state["c"], init_state["c"], 1)
+            return out
+
+        self._reset_jit = _reset
 
     # -- slot lifecycle ----------------------------------------------------
 
@@ -82,24 +101,9 @@ class BatchEngine:
             self.slots[slot] = None
 
     def _reset_slot_state(self, i: int) -> None:
-        """Reset device state for one slot to the initial template."""
-        tmpl = self._init_state_template
-        state = self.state
-
-        def reset_leaf(leaf, init_leaf, s_axis):
-            idx = (slice(None),) * s_axis + (i,)
-            init_idx = (slice(None),) * s_axis + (0,)
-            return leaf.at[idx].set(jnp.asarray(init_leaf[init_idx]))
-
-        new_state = {}
-        for group in ("fbank", "decode"):
-            new_state[group] = {
-                k: reset_leaf(state[group][k], tmpl[group][k], 0)
-                for k in state[group]
-            }
-        new_state["h"] = reset_leaf(state["h"], tmpl["h"], 1)
-        new_state["c"] = reset_leaf(state["c"], tmpl["c"], 1)
-        self.state = new_state
+        """Reset device state for one slot to the initial template (one jitted
+        program; the slot index is a traced argument so all slots share it)."""
+        self.state = self._reset_jit(self.state, self._init_state, jnp.int32(i))
 
     # -- audio path --------------------------------------------------------
 
@@ -170,8 +174,10 @@ class BatchEngine:
 
     # -- event replay ------------------------------------------------------
 
-    def _replay(self, events: Dict[str, jnp.ndarray]) -> None:
-        ev_np = {k: np.asarray(v) for k, v in events.items()}
+    def _replay(self, packed_events: jnp.ndarray) -> None:
+        from .step import unpack_events_np
+
+        ev_np = unpack_events_np(np.asarray(packed_events))
         ops = ev_np["ops"]
         S, P, I = ops.shape
         # fast path: skip sessions/pulls with no ops at all

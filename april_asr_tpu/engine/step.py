@@ -43,6 +43,29 @@ from ..models.loader import ModelRuntime
 
 INNER_STEPS_EMIT = (1.0, 0.0, 0.0)  # early-emit ramp (april_session.c:449-453)
 
+# Field order of the packed event tensor ([..., 6] int32; logprob is a
+# bitcast float32). One packed array per step = ONE device->host transfer
+# per tick instead of one per field (remote TPU transfers are latency-bound).
+PACKED_EVENT_FIELDS = ("ops", "tok", "logprob", "flags", "time_ms", "final_k")
+
+
+def pack_events(events: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    cols = []
+    for k in PACKED_EVENT_FIELDS:
+        v = events[k]
+        if k == "logprob":
+            v = jax.lax.bitcast_convert_type(v, jnp.int32)
+        cols.append(v.astype(jnp.int32))
+    return jnp.stack(cols, axis=-1)
+
+
+def unpack_events_np(packed: np.ndarray) -> Dict[str, np.ndarray]:
+    out = {}
+    for i, k in enumerate(PACKED_EVENT_FIELDS):
+        col = packed[..., i]
+        out[k] = col.view(np.float32) if k == "logprob" else col
+    return out
+
 
 def _empty_pull_events(S: int) -> Dict[str, jnp.ndarray]:
     z = jnp.zeros((S, len(INNER_STEPS_EMIT)), jnp.int32)
@@ -76,20 +99,26 @@ class EngineProgram:
 def init_engine_state(prog: EngineProgram, weights=None) -> Dict:
     """Fresh state for `prog.batch` sessions. The decoder is primed with the
     all-blank context (equivalent to the reference's first-infer priming,
-    april_session.c:432-438)."""
+    april_session.c:432-438). Jitted as one program — eager init would pay
+    one backend round-trip per op on remote TPU backends."""
     rt = prog.rt
     S = prog.batch
     weights = rt.weights if weights is None else weights
-    fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
-    dims = rt.dims
-    dstate = init_decode_state(
-        S, dims.context, max(dims.joiner_dim, 1), rt.blank_id, prog.dcfg
-    )
-    dstate["dout"] = rt.decoder_step(weights, dstate["context"])
-    dstate["dout_init"] = jnp.ones(S, bool)
-    h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
-    c = jnp.zeros((rt.state_shapes[1][0], S, rt.state_shapes[1][1]), jnp.float32)
-    return {"fbank": fb, "h": h, "c": c, "decode": dstate}
+
+    @jax.jit
+    def build(w):
+        fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
+        dims = rt.dims
+        dstate = init_decode_state(
+            S, dims.context, max(dims.joiner_dim, 1), rt.blank_id, prog.dcfg
+        )
+        dstate["dout"] = rt.decoder_step(w, dstate["context"])
+        dstate["dout_init"] = jnp.ones(S, bool)
+        h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
+        c = jnp.zeros((rt.state_shapes[1][0], S, rt.state_shapes[1][1]), jnp.float32)
+        return {"fbank": fb, "h": h, "c": c, "decode": dstate}
+
+    return build(weights)
 
 
 def build_engine(
@@ -159,7 +188,7 @@ def build_engine(
         # events leaves: [P, S, 3] -> [S, P, 3]
         events = {k: jnp.transpose(v, (1, 0, 2)) for k, v in events.items()}
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
-        return state, events
+        return state, pack_events(events)
 
     def step(weights, state, audio_i16, n):
         audio = audio_i16.astype(jnp.float32) / 32768.0  # april_session.c:520-522
@@ -250,7 +279,7 @@ def build_engine(
             k: jnp.concatenate([evA[k], evC[k], evD3[k]], axis=1) for k in evA
         }
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
-        return state, events
+        return state, pack_events(events)
 
     return EngineProgram(
         rt=rt,

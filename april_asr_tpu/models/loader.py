@@ -150,6 +150,10 @@ def _verify_native(dims, native_w, interp_fns, seed=0, atol=2e-4) -> Optional[st
     agree, else a description of the first mismatch."""
     interp_w, ienc, idec, ijoi = interp_fns
     nenc, ndec, njoi = _native_runtime_fns(dims)
+    # jit everything: eager execution would pay one backend round-trip per op
+    # (very expensive on remote TPU backends).
+    ienc, idec, ijoi = jax.jit(ienc), jax.jit(idec), jax.jit(ijoi)
+    nenc, ndec, njoi = jax.jit(nenc), jax.jit(ndec), jax.jit(njoi)
     rng = np.random.default_rng(seed)
     S = 2
     x = rng.normal(size=(S, dims.segment_size, dims.mel)).astype(np.float32)

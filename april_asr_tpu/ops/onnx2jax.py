@@ -602,8 +602,17 @@ def lower_graph(graph: OnnxGraph) -> Tuple[Callable, Dict[str, np.ndarray]]:
 
     `weights` is the initializer dict; pass it through jit so XLA treats the
     parameters as arguments (shardable, donatable) rather than constants.
+    Small integer initializers (Reshape/Slice shape tensors etc.) are kept as
+    static closure constants instead — under jit they must stay trace-time
+    values, not tracers.
     """
-    weights = dict(graph.initializers)
+    weights = {}
+    static_consts = {}
+    for k, v in graph.initializers.items():
+        if v.dtype.kind in "iu" and v.size <= 64:
+            static_consts[k] = v
+        else:
+            weights[k] = v
 
     def fn(params: Dict[str, np.ndarray], *args):
         if len(args) != len(graph.inputs):
@@ -612,6 +621,7 @@ def lower_graph(graph: OnnxGraph) -> Tuple[Callable, Dict[str, np.ndarray]]:
                 f"({graph.inputs}), got {len(args)}"
             )
         env: Dict[str, object] = {}
+        env.update(static_consts)
         env.update(params)
         for name, val in zip(graph.inputs, args):
             env[name] = val

@@ -1,0 +1,9 @@
+from .mesh import make_mesh, param_specs, shard_batch, shard_params, state_spec_tree
+
+__all__ = [
+    "make_mesh",
+    "param_specs",
+    "shard_params",
+    "shard_batch",
+    "state_spec_tree",
+]

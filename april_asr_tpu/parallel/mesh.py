@@ -1,0 +1,100 @@
+"""Device mesh construction and sharding rules.
+
+The reference has no parallelism of any kind (batch hard-required to 1,
+src/params.c:71; ORT pinned to one thread, src/april_model.c:54-55;
+multi-session = independent sessions sharing weights). This module introduces
+the TPU scale axes (SURVEY.md §2.4):
+
+  * `data` — the central axis: concurrent sessions (serving) or utterances
+    (training) sharded across chips; per-session LSTM state lives in HBM on
+    the chip that owns the session.
+  * `model` — tensor parallelism for when the model exceeds one chip: LSTM
+    gate dims, FFN hidden, and joiner vocab are sharded; XLA/GSPMD inserts
+    the psum/all-gather collectives over ICI from the shardings alone.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import MeshConfig
+
+
+def make_mesh(
+    model_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+    cfg: MeshConfig = MeshConfig(),
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (cfg.data_axis, cfg.model_axis))
+
+
+# Per-parameter partition specs for the native transducer pytree
+# (models/lstm_transducer.py layout). Rules: shard the big contraction
+# output dims (gates 4H, FFN hidden, vocab) over `model`; keep small convs
+# and norm scalars replicated. GSPMD derives the collectives.
+_PARAM_SPECS: Dict[str, P] = {
+    "w_ih_t": P(None, None, "model"),
+    "w_hh_t": P(None, None, "model"),
+    "bias": P(None, "model"),
+    "w_hr_t": P(None, "model", None),
+    "ff1_t": P(None, None, "model"),
+    "ff1_b": P(None, "model"),
+    "ff2_t": P(None, "model", None),
+    "ff2_b": P(),
+    "norm_eps": P(),
+    "enc_proj_t": P(),
+    "enc_proj_b": P(),
+    "dec_embed": P("model", None),
+    "dec_conv_w": P("model", None, None),
+    "dec_proj_t": P(),
+    "dec_proj_b": P(),
+    "join_t": P(None, "model"),
+    "join_b": P("model"),
+}
+
+
+def param_specs(params: Dict) -> Dict[str, P]:
+    """PartitionSpec per native param; replicated for anything unknown
+    (conv weights etc.)."""
+    return {k: _PARAM_SPECS.get(k, P()) for k in params}
+
+
+def shard_params(params: Dict, mesh: Mesh) -> Dict:
+    specs = param_specs(params)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k])) for k, v in params.items()
+    }
+
+
+def state_spec_tree(state: Dict, data_axis: str = "data") -> Dict:
+    """PartitionSpecs for engine/session state: session axis sharded over
+    `data`. h/c are [L, S, ·] (session axis 1); everything else is [S, ...]."""
+
+    def spec_for(path, leaf):
+        if path in ("h", "c"):
+            return P(None, data_axis)
+        return P(data_axis)
+
+    out = {}
+    for k, v in state.items():
+        if isinstance(v, dict):
+            out[k] = {kk: spec_for(kk if k != "fbank" else "x", vv) for kk, vv in v.items()}
+            if k in ("fbank", "decode"):
+                out[k] = {kk: P(data_axis) for kk in v}
+        else:
+            out[k] = spec_for(k, v)
+    return out
+
+
+def shard_batch(x, mesh: Mesh, data_axis: str = "data"):
+    """Shard a [B, ...] batch over the data axis."""
+    return jax.device_put(x, NamedSharding(mesh, P(data_axis)))

@@ -1,0 +1,100 @@
+"""Training step for the native transducer: forward, RNN-T loss, optax update.
+
+No reference analog (the reference consumes icefall-trained exports); this
+makes the framework self-sufficient end-to-end. The step jits over a device
+mesh with data-parallel batches and tensor-parallel weights
+(parallel/mesh.py); GSPMD derives the gradient collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.lstm_transducer import (
+    TransducerDims,
+    decoder_step,
+    encoder_seq,
+    init_streaming_state,
+    joiner_logits,
+)
+from .rnnt_loss import rnnt_loss
+
+
+def label_contexts(labels: jnp.ndarray, blank_id: int, context: int = 2) -> jnp.ndarray:
+    """[B, U] labels -> [B, U+1, context] decoder contexts: position u sees
+    the last `context` tokens of [blank, y_1..y_u] (stateless decoder input,
+    matching streaming where the context window trails the emitted tokens)."""
+    B, U = labels.shape
+    padded = jnp.concatenate(
+        [jnp.full((B, context), blank_id, labels.dtype), labels], axis=1
+    )  # [B, context+U]
+    idx = jnp.arange(U + 1)[:, None] + jnp.arange(context)[None, :]  # [U+1, ctx]
+    return padded[:, idx]  # [B, U+1, context]
+
+
+def transducer_loss_fn(
+    dims: TransducerDims, blank_id: int
+) -> Callable[[Dict, Dict], jnp.ndarray]:
+    """Returns loss(params, batch) -> scalar mean NLL.
+
+    batch: mel [B, T, mel] (T >= segment_size, windows at segment_step),
+           labels [B, U] int32, frame_lens [B] (in encoder windows),
+           label_lens [B].
+    """
+
+    def loss(params, batch):
+        mel = batch["mel"]
+        labels = batch["labels"]
+        B = mel.shape[0]
+        h0, c0 = init_streaming_state(dims, B)
+        f, _, _ = encoder_seq(params, mel, h0, c0, dims)  # [B, W, J]
+
+        ctxs = label_contexts(labels, blank_id, dims.context)  # [B, U+1, ctx]
+        U1 = ctxs.shape[1]
+        g = decoder_step(
+            params, ctxs.reshape(B * U1, dims.context), dims
+        ).reshape(B, U1, -1)  # [B, U+1, J]
+
+        # joint: [B, W, U+1, V]
+        joint_in = jnp.tanh(f[:, :, None, :] + g[:, None, :, :])
+        logits = (
+            jnp.dot(joint_in, params["join_t"], preferred_element_type=jnp.float32)
+            + params["join_b"]
+        )
+        nll = rnnt_loss(
+            logits, labels, batch["frame_lens"], batch["label_lens"], blank_id
+        )
+        return jnp.mean(nll)
+
+    return loss
+
+
+class TrainState(NamedTuple):
+    params: Dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_train_step(
+    dims: TransducerDims,
+    blank_id: int,
+    optimizer: optax.GradientTransformation | None = None,
+):
+    """Returns (init_fn, step_fn): step_fn(state, batch) -> (state, loss)."""
+    optimizer = optimizer or optax.adamw(1e-3)
+    loss_fn = transducer_loss_fn(dims, blank_id)
+
+    def init_fn(params) -> TrainState:
+        return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    return init_fn, step_fn
