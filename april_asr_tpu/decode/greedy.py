@@ -14,6 +14,15 @@ digit-dot exception, sentence-forced finalization, 72-token window with
 word-split finalize, silence decay, confident-blank provisional emission with
 dedup, 2200 ms silence reset with context clearing.
 
+Performance notes (this step runs up to 3x per 40 ms frame for every session,
+fused into the engine program — it must cost microseconds, not milliseconds):
+  * token id+flags are packed into ONE int32 word array (ids < 16384 by the
+    params validation, src/params.c:76), halving the window traffic
+  * no gather/scatter HLOs: per-row reads are one-hot masked reductions and
+    per-row writes are masked selects — these fuse into a handful of
+    elementwise kernels on TPU, where gather is slow
+  * the window shift uses an exact f32 one-hot contraction (values < 2^24)
+
 All functions operate on [S, ...] arrays; no data-dependent control flow.
 """
 
@@ -31,15 +40,20 @@ from . import events as ev
 
 NEG_INF = jnp.float32(-1e30)
 
+# token word packing: id | flags << FLAG_SHIFT
+FLAG_SHIFT = 16
 
-def vocab_tables_device(vt: VocabTables) -> Dict[str, jnp.ndarray]:
+
+def vocab_tables_device(vt: VocabTables) -> Dict[str, np.ndarray]:
+    """Numpy constant tables: under jit they fold into the program at lowering
+    (device arrays here would force device->host reads during tracing)."""
     return {
-        "word_boundary": jnp.asarray(vt.word_boundary),
-        "single_char": jnp.asarray(vt.single_char),
-        "end_sentence": jnp.asarray(vt.end_sentence),
-        "punctuation": jnp.asarray(vt.punctuation),
-        "starts_digit": jnp.asarray(vt.starts_digit),
-        "is_dot": jnp.asarray(vt.is_dot),
+        "word_boundary": np.asarray(vt.word_boundary),
+        "single_char": np.asarray(vt.single_char),
+        "end_sentence": np.asarray(vt.end_sentence),
+        "punctuation": np.asarray(vt.punctuation),
+        "starts_digit": np.asarray(vt.starts_digit),
+        "is_dot": np.asarray(vt.is_dot),
     }
 
 
@@ -57,8 +71,7 @@ def init_decode_state(
         "context": jnp.full((batch, context_size), blank_id, jnp.int32),
         "dout": jnp.zeros((batch, joiner_dim), jnp.float32),
         "dout_init": jnp.zeros(batch, bool),
-        "token_ids": jnp.zeros((batch, T), jnp.int32),
-        "token_flags": jnp.zeros((batch, T), jnp.int32),
+        "token_words": jnp.zeros((batch, T), jnp.int32),
         "head": jnp.zeros(batch, jnp.int32),
         "last_call": jnp.zeros(batch, jnp.int32),
         "emitted_silence": jnp.ones(batch, bool),
@@ -79,39 +92,30 @@ def _empty_events(batch: int) -> Dict[str, jnp.ndarray]:
     }
 
 
-def _finalize_tokens(state, active):
-    """aas_finalize_tokens (april_session.c:199-211): FINAL with all tokens,
-    reset head, update last_call. Returns (state, ops, final_k)."""
-    head = state["head"]
-    do = active & (head > 0)
-    ops = jnp.where(do, ev.OP_FINAL, 0).astype(jnp.int32)
-    final_k = jnp.where(do, head, 0)
-    state = dict(state)
-    state["last_call"] = jnp.where(do, head, state["last_call"])
-    state["head"] = jnp.where(do, 0, head)
-    return state, ops, final_k
+def _row_gather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """arr[s, idx[s]] as a one-hot masked reduction (no gather HLO)."""
+    pos = jnp.arange(arr.shape[1], dtype=jnp.int32)[None, :]
+    return jnp.sum(jnp.where(pos == idx[:, None], arr, 0), axis=1)
 
 
-def _find_start_of_word(token_flags, head):
-    """Last index i in (2, head-1] with WORD_BOUNDARY set, else -1
-    (april_session.c:222-230 loop: i from head-1 down to 3)."""
-    T = token_flags.shape[1]
-    pos = jnp.arange(T)[None, :]
-    wb = (token_flags & ev.FLAG_WORD_BOUNDARY) != 0
-    cand = jnp.where(wb & (pos > 2) & (pos <= head[:, None] - 1), pos, -1)
-    return jnp.max(cand, axis=1).astype(jnp.int32)
+def _shift_left(words: jnp.ndarray, shift: jnp.ndarray, head: jnp.ndarray) -> jnp.ndarray:
+    """memmove semantics (april_session.c:245-250): entries [0, head-shift)
+    take words[i+shift]; slots at and beyond the new head keep their stale
+    values (the reference's dedup check reads one such slot, :272-274).
 
-
-def _shift_tokens(token_arr, shift, head):
-    """memmove semantics (april_session.c:245-250): only the head-shift live
-    entries move; slots at and beyond the new head keep their stale values
-    (the reference's dedup check reads one such slot, :272-274)."""
-    T = token_arr.shape[1]
-    pos = jnp.arange(T)[None, :]
-    idx = jnp.clip(pos + shift[:, None], 0, T - 1)
-    moved = jnp.take_along_axis(token_arr, idx, axis=1)
-    live = pos < (head - shift)[:, None]
-    return jnp.where(live, moved, token_arr)
+    One-hot f32 contraction (token words < 2^24, exact in f32).
+    """
+    T = words.shape[1]
+    pos = jnp.arange(T, dtype=jnp.int32)
+    # onehot[s, i, j] = (j == i + shift[s]) and i < head[s] - shift[s]
+    src = pos[None, :, None] + shift[:, None, None]  # [S, T, 1]
+    onehot = (pos[None, None, :] == src).astype(jnp.float32)
+    moved = jnp.einsum(
+        "sij,sj->si", onehot, words.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32)
+    live = pos[None, :] < (head - shift)[:, None]
+    return jnp.where(live, moved, words)
 
 
 def decode_step(
@@ -120,7 +124,7 @@ def decode_step(
     active: jnp.ndarray,
     early_emit: float,
     blank_id: int,
-    vt: Dict[str, jnp.ndarray],
+    vt: Dict[str, np.ndarray],
     cfg: DecodeConfig,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
     """One aas_process_logits step over the batch.
@@ -132,14 +136,23 @@ def decode_step(
     running the decoder, april_session.c:181-196).
     """
     T = cfg.max_active_tokens
-    S = logits.shape[0]
+    S, V = logits.shape
     state = dict(state)
     evt = _empty_events(S)
+    pos = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
+
+    # fold numpy tables into the trace as constants
+    t_wb = jnp.asarray(vt["word_boundary"])
+    t_eos = jnp.asarray(vt["end_sentence"])
+    t_punct = jnp.asarray(vt["punctuation"])
+    t_digit = jnp.asarray(vt["starts_digit"])
+    t_dot = jnp.asarray(vt["is_dot"])
 
     # argmax over non-blank logits (april_session.c:311-320)
-    masked = logits.at[:, blank_id].set(NEG_INF)
+    vocab_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
+    masked = jnp.where(vocab_iota == blank_id, NEG_INF, logits)
     max_idx = jnp.argmax(masked, axis=1).astype(jnp.int32)
-    max_val = jnp.take_along_axis(masked, max_idx[:, None], axis=1)[:, 0]
+    max_val = jnp.max(masked, axis=1)
     blank_val = logits[:, blank_id]
 
     last_ctx = state["context"][:, -1]
@@ -149,18 +162,17 @@ def decode_step(
     is_blank = (blank_val - eff_emit) > max_val  # :330
 
     # token flags from vocab tables (:338-353)
-    wb = vt["word_boundary"][max_idx]
-    eos = vt["end_sentence"][max_idx]
-    punct = vt["punctuation"][max_idx]
+    wb = t_wb[max_idx]
+    eos = t_eos[max_idx]
+    punct = t_punct[max_idx]
 
-    # digit-dot exception (:345-351)
+    # digit-dot exception (:345-351); previous token read is a one-hot reduce
     head = state["head"]
-    prev_tok = jnp.take_along_axis(
-        state["token_ids"], jnp.maximum(head - 1, 0)[:, None], axis=1
-    )[:, 0]
-    digit_exc = (
-        punct & (head > 0) & vt["starts_digit"][prev_tok] & vt["is_dot"][max_idx]
-    )
+    words = state["token_words"]
+    prev_word = _row_gather(words, jnp.maximum(head - 1, 0))
+    prev_tok = prev_word & ((1 << FLAG_SHIFT) - 1)
+    prev_flags = prev_word >> FLAG_SHIFT
+    digit_exc = punct & (head > 0) & t_digit[prev_tok] & t_dot[max_idx]
     eos = eos & ~digit_exc
     punct = punct & ~digit_exc
 
@@ -185,7 +197,7 @@ def decode_step(
 
     # context shift-append (aas_update_context :181-196); decoder run merged later
     new_context = jnp.concatenate(
-        [state["context"][:, 1:], max_idx[:, None].astype(jnp.int32)], axis=1
+        [state["context"][:, 1:], max_idx[:, None]], axis=1
     )
     state["context"] = jnp.where(nb[:, None], new_context, state["context"])
     need_decoder = nb
@@ -193,26 +205,22 @@ def decode_step(
     is_final = nb & (head >= T - 1)  # :366
 
     # sentence boundary checks (:369-388)
-    prev_flags = jnp.take_along_axis(
-        state["token_flags"], jnp.maximum(head - 1, 0)[:, None], axis=1
-    )[:, 0]
     check = nb & (head > 0) & wb
-    prev_is_eos_char = vt["end_sentence"][prev_tok]  # string test on prev token
+    prev_is_eos_char = t_eos[prev_tok]  # string test on the previous token
     fix_prev = check & prev_is_eos_char & ((prev_flags & ev.FLAG_SENTENCE_END) == 0)
-    # set the flag on the stored previous token
-    fixed_flags = prev_flags | ev.FLAG_SENTENCE_END
-    upd = jnp.where(fix_prev, fixed_flags, prev_flags)
-    state["token_flags"] = jnp.where(
-        (jnp.arange(T)[None, :] == jnp.maximum(head - 1, 0)[:, None]) & fix_prev[:, None],
-        upd[:, None],
-        state["token_flags"],
-    )
+    # set SENTENCE_END on the stored previous token (packed flag bit)
+    fix_mask = (pos == jnp.maximum(head - 1, 0)[:, None]) & fix_prev[:, None]
+    words = jnp.where(fix_mask, words | (ev.FLAG_SENTENCE_END << FLAG_SHIFT), words)
     evt["ops"] = evt["ops"] | jnp.where(fix_prev, ev.OP_FIX_PREV_EOS, 0)
     is_final = is_final | (check & prev_is_eos_char)  # :385-387
 
-    # finalize_previous_words (:213-255, :390)
-    start_of_word = _find_start_of_word(state["token_flags"], head)
-    # full finalize when the new token starts a word OR no word start found
+    # finalize_previous_words (:213-255, :390): find last word start in (2, head)
+    wb_bits = (words >> FLAG_SHIFT) & ev.FLAG_WORD_BOUNDARY
+    cand = jnp.where(
+        (wb_bits != 0) & (pos > 2) & (pos <= head[:, None] - 1), pos, -1
+    )
+    start_of_word = jnp.max(cand, axis=1)
+
     full_fin = is_final & (head > 0) & (wb | (start_of_word < 0))
     shift_fin = is_final & (head > 0) & ~wb & (start_of_word >= 0)
 
@@ -227,8 +235,7 @@ def decode_step(
     evt["ops"] = evt["ops"] | jnp.where(shift_fin, ev.OP_FINAL, 0)
     evt["final_k"] = jnp.where(shift_fin, start_of_word, evt["final_k"])
     shift = jnp.where(shift_fin, start_of_word, 0)
-    state["token_ids"] = _shift_tokens(state["token_ids"], shift, head)
-    state["token_flags"] = _shift_tokens(state["token_flags"], shift, head)
+    words = _shift_left(words, shift, head)
     head = jnp.where(shift_fin, head - start_of_word, head)
 
     # no room even after finalize (:392-396)
@@ -237,10 +244,9 @@ def decode_step(
     head = jnp.where(no_room, 0, head)
 
     # emit token (force=true) (:398): append + PARTIAL
-    append_pos = jnp.clip(head, 0, T - 1)
-    pos_mask = (jnp.arange(T)[None, :] == append_pos[:, None]) & nb[:, None]
-    state["token_ids"] = jnp.where(pos_mask, max_idx[:, None], state["token_ids"])
-    state["token_flags"] = jnp.where(pos_mask, tok_flags[:, None], state["token_flags"])
+    new_word = max_idx | (tok_flags << FLAG_SHIFT)
+    append_mask = (pos == jnp.clip(head, 0, T - 1)[:, None]) & nb[:, None]
+    words = jnp.where(append_mask, new_word[:, None], words)
     head = jnp.where(nb, head + 1, head)
     evt["ops"] = evt["ops"] | jnp.where(nb, ev.OP_APPEND | ev.OP_PARTIAL, 0)
     evt["tok"] = jnp.where(nb, max_idx, evt["tok"])
@@ -275,16 +281,14 @@ def decode_step(
     evt["ops"] = evt["ops"] | jnp.where(sil_do, ev.OP_SILENCE, 0)
     state["emitted_silence"] = jnp.where(ls, True, state["emitted_silence"])
 
-    # confident-blank provisional emission (:417-422) with dedup (:270-283)
+    # confident-blank provisional emission (:417-422) with dedup (:270-283):
+    # the stale slot at `head` is read via a one-hot reduce
     conf = bl & ~long_sil & confident
-    tok_at_head = jnp.take_along_axis(
-        state["token_ids"], jnp.clip(head, 0, T - 1)[:, None], axis=1
-    )[:, 0]
-    dedup = (state["last_call"] == head + 1) & (tok_at_head == max_idx)
+    stale_tok = _row_gather(words, jnp.clip(head, 0, T - 1)) & ((1 << FLAG_SHIFT) - 1)
+    dedup = (state["last_call"] == head + 1) & (stale_tok == max_idx)
     conf_emit = conf & ~dedup
-    pos_mask2 = (jnp.arange(T)[None, :] == jnp.clip(head, 0, T - 1)[:, None]) & conf_emit[:, None]
-    state["token_ids"] = jnp.where(pos_mask2, max_idx[:, None], state["token_ids"])
-    state["token_flags"] = jnp.where(pos_mask2, tok_flags[:, None], state["token_flags"])
+    conf_mask = (pos == jnp.clip(head, 0, T - 1)[:, None]) & conf_emit[:, None]
+    words = jnp.where(conf_mask, new_word[:, None], words)
     evt["ops"] = evt["ops"] | jnp.where(
         conf_emit, ev.OP_APPEND | ev.OP_PARTIAL | ev.OP_POP, 0
     )
@@ -301,5 +305,6 @@ def decode_step(
     evt["ops"] = evt["ops"] | jnp.where(bare, ev.OP_PARTIAL, 0)
     state["last_call"] = jnp.where(bare, head, state["last_call"])
 
+    state["token_words"] = words
     state["head"] = head
     return state, evt, is_blank, need_decoder

@@ -83,7 +83,8 @@ class FbankLayout:
 # (unbatched; the engine vmaps over a leading session axis):
 #   leftover     f32[leftover_cap]  zero-padded beyond leftover_len
 #   leftover_len i32
-#   fifo         f32[fifo_rows, num_bins]  valid rows at the front
+#   fifo         f32[fifo_rows, num_bins]  ring buffer of mel rows
+#   fifo_off     i32   ring index of the oldest valid row
 #   fifo_len     i32   rows available (includes flush padding)
 #   fifo_len_f   i32   real-data availability, may go negative during flush
 #   dropped      i32   overflow event count (CANT_KEEP_UP-style observability)
@@ -96,10 +97,21 @@ def fbank_init(layout: FbankLayout) -> FbankState:
         leftover=jnp.zeros(layout.leftover_cap, jnp.float32),
         leftover_len=jnp.int32(0),
         fifo=jnp.zeros((layout.fifo_rows, o.num_bins), jnp.float32),
+        fifo_off=jnp.int32(0),
         fifo_len=jnp.int32(0),
         fifo_len_f=jnp.int32(0),
         dropped=jnp.int32(0),
     )
+
+
+def _dft_matrices(padded: int, num_fft_bins: int):
+    """Real-DFT basis [padded, num_fft_bins] as numpy constants (float64
+    trig, f32 storage). TPUs have no FFT hardware — a dense DFT matmul runs
+    on the MXU and beats XLA's generic FFT for these frame sizes."""
+    t = np.arange(padded)[:, None]
+    k = np.arange(num_fft_bins)[None, :]
+    ang = 2.0 * np.pi * t * k / padded
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
 
 
 def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
@@ -107,7 +119,10 @@ def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
 
     Batched equivalent of fbank.c:241-295; float32 throughout (the reference
     FFT is float64 — WER-neutral per the tolerance tests in
-    tests/test_fbank_jax.py).
+    tests/test_fbank_jax.py). The spectrum is computed as a real-DFT matmul
+    (see _dft_matrices); only bins 0..num_fft_bins-1 are produced, which
+    drops the Nyquist bin and zeroes the DC imaginary exactly like the
+    reference's layout handling (fbank.c:269-280).
     """
     o = layout.opts
     padded = o.padded_window_size
@@ -115,6 +130,7 @@ def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
     mel_t = jnp.asarray(
         mel_banks(o.num_bins, o.num_fft_bins, padded, o.sample_freq, o.mel_low, o.mel_high).T
     )  # [nfft, bins]
+    cos_m, sin_m = _dft_matrices(padded, o.num_fft_bins)
 
     x = frames
     if o.remove_dc_offset:
@@ -126,10 +142,9 @@ def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
         x = x - c * shifted
     x = x * window
 
-    spec = jnp.fft.rfft(x)  # [F, padded//2+1] complex64
-    re = jnp.real(spec)[:, : o.num_fft_bins]
-    im = jnp.imag(spec)[:, : o.num_fft_bins]
-    power = re * re + im * im  # imag of DC bin is 0 already (fbank.c:269-270)
+    re = jnp.dot(x, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
+    im = jnp.dot(x, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    power = re * re + im * im
 
     mel = jnp.dot(power, mel_t, preferred_element_type=jnp.float32)
     return jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
@@ -165,13 +180,29 @@ def fbank_accept(
     nf_eff = jnp.minimum(nframes, space)
     truncated = nf_eff < nframes
 
-    idx = jnp.arange(F)[:, None] * shift + jnp.arange(padded)[None, :]
-    frames = buf[idx]  # [F, padded]
+    # Frame extraction as static slices + reshape (gather HLOs are slow on
+    # TPU): frame i = buf[shift*i : shift*i + padded]. With padded <= 4*shift
+    # (e.g. 512 <= 640 for the canonical 25 ms/10 ms config), four
+    # shift-strided views cover every frame.
+    n_views = -(-padded // shift)  # ceil
+    buf_pad = jnp.concatenate([buf, jnp.zeros(n_views * shift, jnp.float32)])
+    views = [
+        buf_pad[v * shift : v * shift + F * shift].reshape(F, shift)
+        for v in range(n_views)
+    ]
+    frames = jnp.concatenate(views, axis=1)[:, :padded]  # [F, padded]
     rows = _frame_dsp(layout, frames)
 
-    valid = jnp.arange(F) < nf_eff
-    dest = jnp.where(valid, state["fifo_len"] + jnp.arange(F), layout.fifo_rows)
-    fifo = state["fifo"].at[dest].set(rows, mode="drop")
+    # Ring append via one-hot contraction (no scatter HLO): fifo slot r takes
+    # new row (rel(r) - len) when that index is a valid new frame, where
+    # rel(r) = (r - off) mod rows.
+    R = layout.fifo_rows
+    rel = (jnp.arange(R) - state["fifo_off"]) % R
+    row_idx = rel - state["fifo_len"]
+    write = (row_idx >= 0) & (row_idx < nf_eff)
+    onehot = (row_idx[None, :] == jnp.arange(F)[:, None]).astype(jnp.float32)
+    written = jnp.einsum("fr,fb->rb", onehot, rows, preferred_element_type=jnp.float32)
+    fifo = jnp.where(write[:, None], written, state["fifo"])
 
     fifo_len = state["fifo_len"] + nf_eff
     # avail_f tracks real rows; it snaps to avail whenever a real row lands
@@ -197,6 +228,7 @@ def fbank_accept(
         leftover=leftover,
         leftover_len=leftover_len,
         fifo=fifo,
+        fifo_off=state["fifo_off"],
         fifo_len=fifo_len,
         fifo_len_f=fifo_len_f,
         dropped=dropped,
@@ -215,8 +247,9 @@ def fbank_flush_pad(layout: FbankLayout, state: FbankState) -> Tuple[FbankState,
     did = state["fifo_len_f"] >= -(seg * 3)
 
     log_eps = jnp.full((o.num_bins,), jnp.log(jnp.float32(K_EPS)), jnp.float32)
-    idx = jnp.arange(layout.fifo_rows)
-    pad_mask = did & (idx >= state["fifo_len"]) & (idx < seg)
+    R = layout.fifo_rows
+    rel = (jnp.arange(R) - state["fifo_off"]) % R
+    pad_mask = did & (rel >= state["fifo_len"]) & (rel < seg)
     fifo = jnp.where(pad_mask[:, None], log_eps[None, :], state["fifo"])
     fifo_len = jnp.where(did, jnp.maximum(state["fifo_len"], seg), state["fifo_len"])
 
@@ -231,19 +264,24 @@ def fbank_can_pull(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
 
 
 def fbank_peek(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
-    """Front pull_segment_count rows as the [seg, num_bins] network input."""
-    return state["fifo"][: layout.opts.pull_segment_count]
+    """Front pull_segment_count rows as the [seg, num_bins] network input
+    (one-hot ring read; no gather HLO)."""
+    seg = layout.opts.pull_segment_count
+    R = layout.fifo_rows
+    rel = (jnp.arange(R) - state["fifo_off"]) % R
+    onehot = (rel[None, :] == jnp.arange(seg)[:, None]).astype(jnp.float32)
+    return jnp.einsum(
+        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32
+    )
 
 
 def fbank_advance(layout: FbankLayout, state: FbankState, do: jnp.ndarray) -> FbankState:
     """Advance the FIFO by pull_segment_step rows where `do` (fbank.c:343-346)."""
     o = layout.opts
     step = o.pull_segment_step
-    shifted = jnp.concatenate(
-        [state["fifo"][step:], jnp.zeros((step, o.num_bins), jnp.float32)]
-    )
+    d = do.astype(jnp.int32)
     new_state = FbankState(state)
-    new_state["fifo"] = jnp.where(do, shifted, state["fifo"])
-    new_state["fifo_len"] = state["fifo_len"] - step * do.astype(jnp.int32)
-    new_state["fifo_len_f"] = state["fifo_len_f"] - step * do.astype(jnp.int32)
+    new_state["fifo_off"] = (state["fifo_off"] + step * d) % layout.fifo_rows
+    new_state["fifo_len"] = state["fifo_len"] - step * d
+    new_state["fifo_len_f"] = state["fifo_len_f"] - step * d
     return new_state
