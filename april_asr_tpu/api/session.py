@@ -38,6 +38,7 @@ from ..decode.scalar import (
     RESULT_SILENCE,
 )
 from ..engine.batch import BatchEngine
+from ..native import AudioRing, TimeStretcher
 from ..utils import logging as log
 from .model import Model
 from .types import Result, Token, tokens_from_scalar
@@ -89,7 +90,15 @@ class Session:
 
         self._queue: "queue.Queue[tuple]" = queue.Queue()
         self._worker: Optional[threading.Thread] = None
+        self._ring: Optional[AudioRing] = None
+        self._stretcher: Optional[TimeStretcher] = None
+        self._last_speed_update = time.monotonic()
         if asynchronous:
+            # native SPSC ring between the caller and worker threads,
+            # 3 s of audio like the reference (audio_provider.c:31-40)
+            self._ring = AudioRing(3 * model.get_sample_rate())
+            if self.force_realtime:
+                self._stretcher = TimeStretcher(model.get_sample_rate())
             self._worker = threading.Thread(
                 target=self._worker_loop, name="april-session", daemon=True
             )
@@ -109,7 +118,12 @@ class Session:
             raise ValueError("session is closed")
         pcm = np.frombuffer(data, dtype="<i2") if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.int16)
         if self.asynchronous:
-            self._engine.feed(self._slot, pcm)  # bounded; may emit CANT_KEEP_UP
+            # lock-free SPSC handoff to the worker; on overflow the whole
+            # block is dropped and the handler fires on the caller thread
+            # (reference aas_feed_pcm16 async path, april_session.c:480-493)
+            if not self._ring.push(pcm):
+                self.callback(Result(RESULT_CANT_KEEP_UP), [])
+                return
             self._queue.put(("audio",))
         else:
             self._engine.feed(self._slot, pcm)
@@ -143,6 +157,10 @@ class Session:
         if self.speaker_name:
             self._save_speaker()
         self._engine.free(self._slot)
+        if self._ring is not None:
+            self._ring.close()
+        if self._stretcher is not None:
+            self._stretcher.close()
 
     def __del__(self):
         try:
@@ -176,7 +194,7 @@ class Session:
             try:
                 msg = self._queue.get(timeout=0.05)
             except queue.Empty:
-                if self._engine.pending(self._slot) > 0:
+                if self._ring.available or self._engine.pending(self._slot) > 0:
                     self._tick_async()
                 continue
             if msg[0] == "stop":
@@ -184,6 +202,7 @@ class Session:
             if msg[0] == "audio":
                 self._tick_async()
             elif msg[0] == "flush":
+                self._drain_ring(flush=True)
                 mask = np.zeros(self._engine.batch, bool)
                 mask[self._slot] = True
                 try:
@@ -191,7 +210,22 @@ class Session:
                 finally:
                     msg[1].set()
 
+    def _drain_ring(self, flush: bool = False) -> None:
+        """Move ring audio into the engine, time-stretching in RT mode when
+        behind realtime (reference fbank_set_speed cadence,
+        april_session.c:464-473: speed re-evaluated every 2 s)."""
+        pcm = self._ring.pull(self._ring.capacity)
+        if self._stretcher is not None:
+            now = time.monotonic()
+            if now - self._last_speed_update > 2.0:
+                self._last_speed_update = now
+                self._stretcher.set_speed(max(1.0, self._speed_needed))
+            pcm = self._stretcher.process(pcm, flush=flush)
+        if len(pcm):
+            self._engine.feed(self._slot, pcm)
+
     def _tick_async(self) -> None:
+        self._drain_ring()
         t0 = time.monotonic()
         if self._engine.tick():
             self._update_speed(time.monotonic() - t0)
