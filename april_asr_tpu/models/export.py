@@ -26,7 +26,7 @@ from ..io.container import (
 from ..io.onnx_build import build_transducer_graphs
 from ..io.params import ModelParameters
 from ..io.safetensors import save_safetensors_bytes
-from .lstm_transducer import TransducerDims
+from .lstm_transducer import DERIVED_KEYS, TransducerDims
 
 
 def make_model_parameters(
@@ -67,7 +67,9 @@ def save_april(
     form="onnx": reference-compatible (type 1, 3 ONNX networks).
     form="native": framework-native (type 64, safetensors payload).
     """
-    np_params = {k: np.asarray(v) for k, v in params.items()}
+    np_params = {
+        k: np.asarray(v) for k, v in params.items() if k not in DERIVED_KEYS
+    }
     if form == "onnx":
         networks = list(build_transducer_graphs(dims, np_params))
         model_type = MODEL_LSTM_TRANSDUCER_STATELESS

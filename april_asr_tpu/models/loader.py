@@ -45,6 +45,7 @@ from .lstm_transducer import (
     decoder_step,
     encoder_step,
     joiner_logits,
+    precompute_decoder_tables,
 )
 
 
@@ -233,6 +234,7 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
             if mismatch is None:
                 kind = "native"
                 weights = {k: jnp.asarray(v) for k, v in native_w.items()}
+                weights = precompute_decoder_tables(weights, dims)
                 enc, dec, joi = _native_runtime_fns(dims)
                 log.info("model %s: native extraction verified", container.name)
             else:
@@ -311,7 +313,9 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         k: (tuple(v) if k == "conv_channels" else v)
         for k, v in meta["dims"].items()
     })
-    weights = {k: jnp.asarray(v) for k, v in tensors.items()}
+    weights = precompute_decoder_tables(
+        {k: jnp.asarray(v) for k, v in tensors.items()}, dims
+    )
     enc, dec, joi = _native_runtime_fns(dims)
     return ModelRuntime(
         name=container.name,

@@ -62,6 +62,10 @@ class TransducerDims:
 
 Params = Dict[str, jnp.ndarray]
 
+# Inference-only derived entries (precompute_decoder_tables); never trained,
+# checkpointed, or exported.
+DERIVED_KEYS = frozenset({"dec_table"})
+
 
 def init_transducer_params(
     rng: jax.Array, dims: TransducerDims, dtype=jnp.float32
@@ -119,6 +123,30 @@ def init_transducer_params(
     return params
 
 
+def cast_weights(params: Params, dtype) -> Params:
+    """Cast matrix/embedding weights to `dtype` (e.g. bfloat16), keeping
+    biases, norm eps, and derived tables in float32.
+
+    bf16 weights halve HBM traffic and run the MXU at its native rate
+    (~4x the f32 matmul peak on v5e); all matmuls still accumulate in f32
+    via preferred_element_type, and the LSTM cell state stays f32 in
+    _lstm_stack_step, so streaming error does not compound.
+    """
+    out = {}
+    for k, v in params.items():
+        if v.ndim >= 2 and k not in DERIVED_KEYS and v.dtype == jnp.float32:
+            out[k] = v.astype(dtype)
+        else:
+            out[k] = v
+    return out
+
+
+def _mm(x, w):
+    """Matmul with f32 accumulation, casting x to the weight dtype first so
+    bf16 weights get a bf16xbf16->f32 MXU issue instead of an f32 upcast."""
+    return jnp.dot(x.astype(w.dtype), w, preferred_element_type=jnp.float32)
+
+
 def _double_swish(x):
     """x * sigmoid(x - 1) (icefall DoubleSwish; fused by XLA)."""
     return x * jax.nn.sigmoid(x - 1.0)
@@ -136,24 +164,21 @@ def conv_subsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     def conv(h, wname, bname, stride, pad):
         w = params[wname]
         y = jax.lax.conv_general_dilated(
-            h,
+            h.astype(w.dtype),
             w,
             (stride, stride),
             [(pad, pad), (pad, pad)],
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
             preferred_element_type=jnp.float32,
         )
-        return _double_swish(y + params[bname][None, :, None, None])
+        return _double_swish(y + params[bname][None, :, None, None].astype(jnp.float32))
 
     h = conv(h, "conv1_w", "conv1_b", 1, 1)
     h = conv(h, "conv2_w", "conv2_b", 2, 0)
     h = conv(h, "conv3_w", "conv3_b", 2, 0)
     s, ch, t, f = h.shape
     h = jnp.transpose(h, (0, 2, 1, 3)).reshape(s, t, ch * f)
-    return (
-        jnp.dot(h, params["embed_out_w"], preferred_element_type=jnp.float32)
-        + params["embed_out_b"]
-    )
+    return _mm(h, params["embed_out_w"]) + params["embed_out_b"].astype(jnp.float32)
 
 
 def _lstm_stack_step(
@@ -167,26 +192,16 @@ def _lstm_stack_step(
 
     def layer(x, scan_in):
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
-        gates = (
-            jnp.dot(x, w_ih_t, preferred_element_type=jnp.float32)
-            + jnp.dot(h_l, w_hh_t, preferred_element_type=jnp.float32)
-            + bias
-        )
+        gates = _mm(x, w_ih_t) + _mm(h_l, w_hh_t) + bias.astype(jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
+        # cell state stays f32 (streaming error must not compound)
         c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
         hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
-        h_new = jnp.dot(hc, w_hr_t, preferred_element_type=jnp.float32)
+        h_new = _mm(hc, w_hr_t)
 
         y = x + h_new  # residual LSTM
-        ff = (
-            jnp.dot(
-                _double_swish(jnp.dot(y, ff1_t, preferred_element_type=jnp.float32) + ff1_b),
-                ff2_t,
-                preferred_element_type=jnp.float32,
-            )
-            + ff2_b
-        )
-        y = _basic_norm(y + ff, eps)
+        ff = _mm(_double_swish(_mm(y, ff1_t) + ff1_b.astype(jnp.float32)), ff2_t) + ff2_b.astype(jnp.float32)
+        y = _basic_norm(y + ff, eps.astype(jnp.float32))
         return y, (h_new, c_new)
 
     scan_ins = (
@@ -217,10 +232,7 @@ def encoder_step(
     y = conv_subsample(params, x)  # [S, T'=1, d]
     y = y[:, 0, :]
     y, h_new, c_new = _lstm_stack_step(params, y, h, c)
-    eout = (
-        jnp.dot(y, params["enc_proj_t"], preferred_element_type=jnp.float32)
-        + params["enc_proj_b"]
-    )
+    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new
 
 
@@ -249,11 +261,36 @@ def encoder_seq(
 
     (h_new, c_new), ys = jax.lax.scan(step_fn, (h, c), jnp.swapaxes(sub, 0, 1))
     ys = jnp.swapaxes(ys, 0, 1)  # [S, W, d]
-    eout = (
-        jnp.dot(ys, params["enc_proj_t"], preferred_element_type=jnp.float32)
-        + params["enc_proj_b"]
-    )
+    eout = _mm(ys, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new
+
+
+def precompute_decoder_tables(params: Params, dims: TransducerDims) -> Params:
+    """Add the derived `dec_table` [ctx, V, d] to the params pytree.
+
+    The grouped context conv is linear in each position's embedding, so its
+    pre-ReLU output decomposes exactly into per-position token tables:
+    pre[s] = sum_k table[k, context[s, k]]. This turns the decoder step —
+    which runs up to 3x per 40 ms frame for every session — from
+    embedding-gather + grouped-conv (tiny 4x4 matmuls, terrible MXU
+    utilization) into `ctx` row gathers + one dense [S,d]x[d,J] matmul.
+    """
+    if "dec_table" in params:
+        return params
+    V, d = params["dec_embed"].shape
+    groups = dims.decoder_groups
+    gin = d // groups
+    gout = d // groups
+    emb = params["dec_embed"].reshape(V, groups, gin)
+    # w: [d, gin, ctx] -> [groups, gout, gin, ctx]
+    w = params["dec_conv_w"].reshape(groups, gout, gin, dims.context)
+    # table[k, v, (g,o)] = sum_i emb[v, g, i] * w[g, o, i, k]
+    table = jnp.einsum(
+        "vgi,goik->kvgo", emb, w, preferred_element_type=jnp.float32
+    ).reshape(dims.context, V, d)
+    out = dict(params)
+    out["dec_table"] = table
+    return out
 
 
 def decoder_step(params: Params, context: jnp.ndarray, dims: TransducerDims) -> jnp.ndarray:
@@ -261,7 +298,16 @@ def decoder_step(params: Params, context: jnp.ndarray, dims: TransducerDims) -> 
 
     Embedding lookup + grouped conv over the context window + relu + proj
     (the reference runs this graph on every emission, april_session.c:181-196).
+    With precomputed `dec_table` (precompute_decoder_tables) the conv is two
+    table rows summed — exact, not an approximation.
     """
+    ctx_i = context.astype(jnp.int32)
+    if "dec_table" in params:
+        pre = params["dec_table"][0][ctx_i[:, 0]]
+        for k in range(1, dims.context):
+            pre = pre + params["dec_table"][k][ctx_i[:, k]]
+        y = jax.nn.relu(pre)
+        return _mm(y, params["dec_proj_t"]) + params["dec_proj_b"].astype(jnp.float32)
     emb = jnp.take(params["dec_embed"], context.astype(jnp.int32), axis=0)  # [S, ctx, d]
     # Grouped 1-D conv with kernel size == context collapses to a single
     # position: output[o] = sum_{g-slice, k} emb[k, i] * w[o, i, k].
@@ -277,22 +323,21 @@ def decoder_step(params: Params, context: jnp.ndarray, dims: TransducerDims) -> 
     gout = d // groups
     w_g = w.reshape(groups, gout, gin, dims.context).transpose(0, 2, 3, 1)
     w_g = w_g.reshape(groups, gin * dims.context, gout)
-    y = jnp.einsum("sgi,gio->sgo", emb_g, w_g, preferred_element_type=jnp.float32)
+    y = jnp.einsum(
+        "sgi,gio->sgo",
+        emb_g.astype(w_g.dtype),
+        w_g,
+        preferred_element_type=jnp.float32,
+    )
     y = y.reshape(S, d)
     y = jax.nn.relu(y)
-    return (
-        jnp.dot(y, params["dec_proj_t"], preferred_element_type=jnp.float32)
-        + params["dec_proj_b"]
-    )
+    return _mm(y, params["dec_proj_t"]) + params["dec_proj_b"].astype(jnp.float32)
 
 
 def joiner_logits(params: Params, eout: jnp.ndarray, dout: jnp.ndarray) -> jnp.ndarray:
     """[S, J] + [S, J] -> [S, vocab] logits (tanh joiner, export-april.py:317-331)."""
-    return (
-        jnp.dot(
-            jnp.tanh(eout + dout), params["join_t"], preferred_element_type=jnp.float32
-        )
-        + params["join_b"]
+    return _mm(jnp.tanh(eout + dout), params["join_t"]) + params["join_b"].astype(
+        jnp.float32
     )
 
 

@@ -37,9 +37,19 @@ def build_runtime(bias_blank: float = 4.0):
     )
     from april_asr_tpu.testing import default_tokens
 
+    import jax.numpy as jnp
+
+    from april_asr_tpu.models.lstm_transducer import (
+        cast_weights,
+        precompute_decoder_tables,
+    )
+
     dims = TransducerDims()
     params = init_transducer_params(jax.random.PRNGKey(0), dims)
     params["join_b"] = params["join_b"].at[0].add(bias_blank)
+    params = precompute_decoder_tables(params, dims)
+    if os.environ.get("APRIL_BENCH_PRECISION", "bf16") == "bf16":
+        params = cast_weights(params, jnp.bfloat16)
     mp = make_model_parameters(dims, default_tokens(dims.vocab))
     enc, dec, joi = _native_runtime_fns(dims)
     return ModelRuntime(

@@ -62,3 +62,19 @@ def test_jit_and_vmap_compose():
     assert h2.shape == (DIMS.layers, S, DIMS.d_model)
     assert c2.shape == (DIMS.layers, S, DIMS.hidden)
     assert not np.any(np.isnan(np.asarray(eout)))
+
+
+def test_decoder_table_path_matches_grouped_conv():
+    """precompute_decoder_tables is an exact linear decomposition of the
+    grouped context conv — same dout for every context, not an approximation."""
+    from april_asr_tpu.models.lstm_transducer import (
+        decoder_step,
+        precompute_decoder_tables,
+    )
+
+    params = init_transducer_params(jax.random.PRNGKey(3), DIMS)
+    rng = np.random.default_rng(0)
+    ctx = rng.integers(0, DIMS.vocab, size=(64, DIMS.context)).astype(np.int32)
+    ref = decoder_step(params, jnp.asarray(ctx), DIMS)
+    fast = decoder_step(precompute_decoder_tables(params, DIMS), jnp.asarray(ctx), DIMS)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5, rtol=1e-5)
