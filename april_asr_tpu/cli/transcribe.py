@@ -15,6 +15,59 @@ import sys
 import numpy as np
 
 
+def _beam_transcribe(args) -> int:
+    """Offline beam-search decode of a wav file (framework extension; the
+    reference has greedy only)."""
+    import jax.numpy as jnp
+
+    from ..api import Model
+    from ..decode.beam import BeamConfig, beam_search
+    from ..frontend.oracle import logmel_frames
+    from ..io.wav import read_wav, resample_linear
+    from ..models.lstm_transducer import encoder_seq, init_streaming_state
+
+    if args.wav in ("-", "?"):
+        print("error: --beam requires a wav file input", file=sys.stderr)
+        return 1
+    model = Model(args.model)
+    rt = model.runtime
+    if rt.kind != "native":
+        print(
+            "error: --beam requires a native-architecture model "
+            "(this model runs via the generic ONNX interpreter)",
+            file=sys.stderr,
+        )
+        return 1
+    rate = model.get_sample_rate()
+    samples, wav_rate = read_wav(args.wav)
+    if wav_rate != rate:
+        samples = resample_linear(samples, wav_rate, rate)
+    wave = samples.astype(np.float32) / 32768.0
+    mel = logmel_frames(rt.fbank_opts, wave)
+    dims = rt.dims
+    if mel.shape[0] < dims.segment_size:
+        print("@")
+        return 0
+    h, c = init_streaming_state(dims, 1)
+    eouts, _, _ = encoder_seq(rt.weights, jnp.asarray(mel)[None], h, c, dims)
+    mask = jnp.ones((1, eouts.shape[1]), bool)
+    toks, lens, score = beam_search(
+        rt.weights,
+        eouts,
+        mask,
+        rt.decoder_step,
+        rt.joiner,
+        dims.context,
+        rt.blank_id,
+        BeamConfig(beam=args.beam),
+    )
+    n = int(lens[0])
+    text = "".join(rt.params.token_str(int(t)) for t in np.asarray(toks[0, :n]))
+    print(f"# beam={args.beam} score={float(score[0]):.2f}", file=sys.stderr)
+    print("@ " + text.strip())
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("wav", help="wav path, '-' for raw PCM16 on stdin, '?' for zeros smoke test")
@@ -22,7 +75,17 @@ def main(argv=None) -> int:
     ap.add_argument("--chunk", type=int, default=3200, help="samples per feed")
     ap.add_argument("--quiet", action="store_true", help="only print final lines")
     ap.add_argument("--no-partials", action="store_true", help="don't overwrite-print partials")
+    ap.add_argument(
+        "--beam",
+        type=int,
+        default=0,
+        help="offline beam-search decode with this beam width (wav input only; "
+        "0 = streaming greedy, the reference behavior)",
+    )
     args = ap.parse_args(argv)
+
+    if args.beam > 0:
+        return _beam_transcribe(args)
 
     from ..api import Model, Result, Session
 

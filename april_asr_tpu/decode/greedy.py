@@ -44,16 +44,27 @@ NEG_INF = jnp.float32(-1e30)
 FLAG_SHIFT = 16
 
 
+# bit layout of the packed per-token property mask
+MASK_WB, MASK_EOS, MASK_PUNCT, MASK_DIGIT, MASK_DOT = 1, 2, 4, 8, 16
+
+
 def vocab_tables_device(vt: VocabTables) -> Dict[str, np.ndarray]:
     """Numpy constant tables: under jit they fold into the program at lowering
-    (device arrays here would force device->host reads during tracing)."""
+    (device arrays here would force device->host reads during tracing).
+
+    All per-token boolean properties are packed into ONE int32 bitmask table
+    so each decode step does one [S] gather per token operand instead of
+    five."""
+    mask = (
+        np.asarray(vt.word_boundary, np.int32) * MASK_WB
+        | np.asarray(vt.end_sentence, np.int32) * MASK_EOS
+        | np.asarray(vt.punctuation, np.int32) * MASK_PUNCT
+        | np.asarray(vt.starts_digit, np.int32) * MASK_DIGIT
+        | np.asarray(vt.is_dot, np.int32) * MASK_DOT
+    )
     return {
-        "word_boundary": np.asarray(vt.word_boundary),
+        "mask": mask,
         "single_char": np.asarray(vt.single_char),
-        "end_sentence": np.asarray(vt.end_sentence),
-        "punctuation": np.asarray(vt.punctuation),
-        "starts_digit": np.asarray(vt.starts_digit),
-        "is_dot": np.asarray(vt.is_dot),
     }
 
 
@@ -103,17 +114,13 @@ def _shift_left(words: jnp.ndarray, shift: jnp.ndarray, head: jnp.ndarray) -> jn
     take words[i+shift]; slots at and beyond the new head keep their stale
     values (the reference's dedup check reads one such slot, :272-274).
 
-    One-hot f32 contraction (token words < 2^24, exact in f32).
-    """
+    Row-wise take_along_axis: a [S, T] gather is far cheaper than the
+    [S, T, T] one-hot contraction it replaced (21 MB of intermediate per
+    call at S=1024, and this runs 3x per pull)."""
     T = words.shape[1]
     pos = jnp.arange(T, dtype=jnp.int32)
-    # onehot[s, i, j] = (j == i + shift[s]) and i < head[s] - shift[s]
-    src = pos[None, :, None] + shift[:, None, None]  # [S, T, 1]
-    onehot = (pos[None, None, :] == src).astype(jnp.float32)
-    moved = jnp.einsum(
-        "sij,sj->si", onehot, words.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32)
+    idx = jnp.clip(pos[None, :] + shift[:, None], 0, T - 1)
+    moved = jnp.take_along_axis(words, idx, axis=1)
     live = pos[None, :] < (head - shift)[:, None]
     return jnp.where(live, moved, words)
 
@@ -141,12 +148,8 @@ def decode_step(
     evt = _empty_events(S)
     pos = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
 
-    # fold numpy tables into the trace as constants
-    t_wb = jnp.asarray(vt["word_boundary"])
-    t_eos = jnp.asarray(vt["end_sentence"])
-    t_punct = jnp.asarray(vt["punctuation"])
-    t_digit = jnp.asarray(vt["starts_digit"])
-    t_dot = jnp.asarray(vt["is_dot"])
+    # fold the packed numpy bitmask table into the trace as a constant
+    t_mask = jnp.asarray(vt["mask"])
 
     # argmax over non-blank logits (april_session.c:311-320)
     vocab_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
@@ -161,10 +164,11 @@ def decode_step(
     eff_emit = jnp.where(is_equal_prev, 0.0, jnp.float32(early_emit))  # :327
     is_blank = (blank_val - eff_emit) > max_val  # :330
 
-    # token flags from vocab tables (:338-353)
-    wb = t_wb[max_idx]
-    eos = t_eos[max_idx]
-    punct = t_punct[max_idx]
+    # token flags from the packed vocab bitmask (:338-353)
+    mask_max = t_mask[max_idx]
+    wb = (mask_max & MASK_WB) != 0
+    eos = (mask_max & MASK_EOS) != 0
+    punct = (mask_max & MASK_PUNCT) != 0
 
     # digit-dot exception (:345-351); previous token read is a one-hot reduce
     head = state["head"]
@@ -172,7 +176,13 @@ def decode_step(
     prev_word = _row_gather(words, jnp.maximum(head - 1, 0))
     prev_tok = prev_word & ((1 << FLAG_SHIFT) - 1)
     prev_flags = prev_word >> FLAG_SHIFT
-    digit_exc = punct & (head > 0) & t_digit[prev_tok] & t_dot[max_idx]
+    mask_prev = t_mask[prev_tok]
+    digit_exc = (
+        punct
+        & (head > 0)
+        & ((mask_prev & MASK_DIGIT) != 0)
+        & ((mask_max & MASK_DOT) != 0)
+    )
     eos = eos & ~digit_exc
     punct = punct & ~digit_exc
 
@@ -206,7 +216,7 @@ def decode_step(
 
     # sentence boundary checks (:369-388)
     check = nb & (head > 0) & wb
-    prev_is_eos_char = t_eos[prev_tok]  # string test on the previous token
+    prev_is_eos_char = (mask_prev & MASK_EOS) != 0  # string test on prev token
     fix_prev = check & prev_is_eos_char & ((prev_flags & ev.FLAG_SENTENCE_END) == 0)
     # set SENTENCE_END on the stored previous token (packed flag bit)
     fix_mask = (pos == jnp.maximum(head - 1, 0)[:, None]) & fix_prev[:, None]

@@ -28,6 +28,37 @@ from .replay import EventReplayer
 from .step import EngineProgram, build_engine, init_engine_state
 
 
+def replay_packed(packed: np.ndarray, slots) -> int:
+    """Replay a packed [S, P, I, 6] event tensor into per-slot replayers.
+
+    One vectorized argwhere finds every event; the Python loop then touches
+    only actual events (sustained serving is ~25 events per session-second —
+    at S=1024 the per-event cost here is the host-side budget). Returns the
+    number of events applied. `slots` is indexable by session; entries may
+    be None (freed) or expose `.replayer`.
+    """
+    from .step import unpack_events_np
+
+    ev_np = unpack_events_np(packed)
+    ops = ev_np["ops"]
+    coords = np.argwhere(ops != 0)
+    if coords.size == 0:
+        return 0
+    tok, lp = ev_np["tok"], ev_np["logprob"]
+    fl, tm, fk = ev_np["flags"], ev_np["time_ms"], ev_np["final_k"]
+    n = 0
+    for s, p, j in coords:
+        slot = slots[s]
+        if slot is None:
+            continue
+        slot.replayer.apply(
+            int(ops[s, p, j]), int(tok[s, p, j]), float(lp[s, p, j]),
+            int(fl[s, p, j]), int(tm[s, p, j]), int(fk[s, p, j]),
+        )
+        n += 1
+    return n
+
+
 class _Slot:
     def __init__(self, replayer: EventReplayer, handler):
         self.replayer = replayer
@@ -175,27 +206,4 @@ class BatchEngine:
     # -- event replay ------------------------------------------------------
 
     def _replay(self, packed_events: jnp.ndarray) -> None:
-        from .step import unpack_events_np
-
-        ev_np = unpack_events_np(np.asarray(packed_events))
-        ops = ev_np["ops"]
-        S, P, I = ops.shape
-        # fast path: skip sessions/pulls with no ops at all
-        for s_idx in range(S):
-            slot = self.slots[s_idx]
-            if slot is None or not ops[s_idx].any():
-                continue
-            for p in range(P):
-                if not ops[s_idx, p].any():
-                    continue
-                for j in range(I):
-                    o = int(ops[s_idx, p, j])
-                    if o:
-                        slot.replayer.apply(
-                            o,
-                            int(ev_np["tok"][s_idx, p, j]),
-                            float(ev_np["logprob"][s_idx, p, j]),
-                            int(ev_np["flags"][s_idx, p, j]),
-                            int(ev_np["time_ms"][s_idx, p, j]),
-                            int(ev_np["final_k"][s_idx, p, j]),
-                        )
+        replay_packed(np.asarray(packed_events), self.slots)

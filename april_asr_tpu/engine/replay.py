@@ -35,20 +35,34 @@ class EventReplayer:
         self.tokens: List[ScalarToken] = []
 
     def apply(self, ops: int, tok: int, logprob: float, flags: int, time_ms: int, final_k: int):
+        """Apply one event record, firing callbacks.
+
+        Token lists passed to callbacks are transient views — valid only for
+        the duration of the call, exactly like the reference's handler
+        contract (april_api.h:176-179: the tokens pointer is owned by the
+        session and reused). Sustained serving fires ~25 PARTIALs per
+        session-second, so this path must not copy the window per event.
+        """
         if ops == 0:
             return
-        if ops & ev.OP_FIX_PREV_EOS and self.tokens:
-            self.tokens[-1].flags |= ev.FLAG_SENTENCE_END
+        toks = self.tokens
+        if ops & ev.OP_FIX_PREV_EOS and toks:
+            # copy-on-write so token objects already exposed to callbacks
+            # (and possibly captured) stay immutable
+            t = toks[-1]
+            toks[-1] = ScalarToken(
+                t.token_id, t.logprob, t.flags | ev.FLAG_SENTENCE_END, t.time_ms
+            )
         if ops & ev.OP_FINAL:
-            self.on_result(RESULT_FINAL, [t.copy() for t in self.tokens[:final_k]])
-            self.tokens = self.tokens[final_k:]
+            self.on_result(RESULT_FINAL, toks[:final_k])
+            del toks[:final_k]
         if ops & ev.OP_RESET_TOKENS:
-            self.tokens = []
+            toks.clear()
         if ops & ev.OP_APPEND:
-            self.tokens.append(ScalarToken(int(tok), float(logprob), int(flags), int(time_ms)))
+            toks.append(ScalarToken(int(tok), float(logprob), int(flags), int(time_ms)))
         if ops & ev.OP_PARTIAL:
-            self.on_result(RESULT_PARTIAL, [t.copy() for t in self.tokens])
+            self.on_result(RESULT_PARTIAL, toks)
         if ops & ev.OP_POP:
-            self.tokens.pop()
+            toks.pop()
         if ops & ev.OP_SILENCE:
-            self.on_result(RESULT_SILENCE, [])
+            self.on_result(RESULT_SILENCE, ())

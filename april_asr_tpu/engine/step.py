@@ -35,7 +35,9 @@ from ..frontend.fbank import (
     FbankLayout,
     fbank_accept,
     fbank_advance,
+    fbank_advance_n,
     fbank_flush_pad,
+    fbank_front,
     fbank_init,
     fbank_peek,
 )
@@ -156,6 +158,13 @@ def build_engine(
         h = jnp.where(m3, h2, h)
         c = jnp.where(m3, c2, c)
 
+        dstate, events = inner_decode(weights, eout, can, dstate)
+        fb = v_advance(fb, can)
+        return fb, h, c, dstate, events
+
+    def inner_decode(weights, eout, can, dstate):
+        """The <=3-symbol masked inner loop for one pull (shared by both
+        step paths and the flush path)."""
         done = ~can
         evts = []
         for ee in INNER_STEPS_EMIT:
@@ -167,24 +176,65 @@ def build_engine(
             dstate["dout"] = jnp.where(need_dec[:, None], new_dout, dstate["dout"])
             done = done | is_blank
             evts.append(evt)
-
-        fb = v_advance(fb, can)
         events = {k: jnp.stack([e[k] for e in evts], axis=1) for k in evts[0]}
-        return fb, h, c, dstate, events
+        return dstate, events
 
     def step_body(weights, state, audio_f32, n):
-        """Accept one chunk then drain all pulls (aas_infer's while loop)."""
+        """Accept one chunk then drain all pulls (aas_infer's while loop).
+
+        Fast path (native models with a split encoder): ONE ring read
+        materializes every pull's window, ONE batched conv embeds all of
+        them, and the per-pull scan only carries the recurrent LSTM state +
+        decode — the FIFO is read/advanced once per step instead of once
+        per pull.
+        """
         fb = v_accept(state["fbank"], audio_f32, n)
         h, c, dstate = state["h"], state["c"], state["decode"]
 
-        def scan_body(carry, _):
-            fb, h, c, dstate = carry
-            fb, h, c, dstate, events = pull_once(weights, fb, h, c, dstate)
-            return (fb, h, c, dstate), events
+        if rt.encoder_embed is None:
+            def scan_body(carry, _):
+                fb, h, c, dstate = carry
+                fb, h, c, dstate, events = pull_once(weights, fb, h, c, dstate)
+                return (fb, h, c, dstate), events
 
-        (fb, h, c, dstate), events = jax.lax.scan(
-            scan_body, (fb, h, c, dstate), None, length=P
-        )
+            (fb, h, c, dstate), events = jax.lax.scan(
+                scan_body, (fb, h, c, dstate), None, length=P
+            )
+        else:
+            S = n.shape[0]
+            step_rows = layout.opts.pull_segment_step
+            W = (P - 1) * step_rows + seg
+            front = jax.vmap(lambda s: fbank_front(layout, s, W))(fb)  # [S, W, mel]
+            windows = jnp.stack(
+                [front[:, i * step_rows : i * step_rows + seg] for i in range(P)]
+            )  # [P, S, seg, mel]
+            can = fb["fifo_len"][None, :] >= (
+                seg + step_rows * jnp.arange(P, dtype=jnp.int32)[:, None]
+            )  # [P, S]
+            y0 = rt.encoder_embed(
+                weights, windows.reshape(P * S, seg, windows.shape[-1])
+            ).reshape(P, S, -1)
+
+            def scan_body(carry, xs):
+                h, c, dstate = carry
+                y0_i, can_i = xs
+                dstate = dict(dstate)
+                dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
+                eout, h2, c2 = rt.encoder_recurrent(weights, y0_i, h, c)
+                m3 = can_i[None, :, None]
+                h = jnp.where(m3, h2, h)
+                c = jnp.where(m3, c2, c)
+                dstate, events = inner_decode(weights, eout, can_i, dstate)
+                return (h, c, dstate), events
+
+            (h, c, dstate), events = jax.lax.scan(
+                scan_body, (h, c, dstate), (y0, can)
+            )
+            n_pulled = jnp.clip(
+                (fb["fifo_len"] - seg) // step_rows + 1, 0, P
+            )
+            fb = jax.vmap(lambda s, k: fbank_advance_n(layout, s, k))(fb, n_pulled)
+
         # events leaves: [P, S, 3] -> [S, P, 3]
         events = {k: jnp.transpose(v, (1, 0, 2)) for k, v in events.items()}
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}

@@ -275,6 +275,34 @@ def fbank_peek(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
     )
 
 
+def fbank_front(layout: FbankLayout, state: FbankState, w: int) -> jnp.ndarray:
+    """Front `w` FIFO rows as [w, num_bins] (single one-hot ring read).
+
+    Lets the engine materialize every window of a step's pull loop with ONE
+    pass over the FIFO instead of one peek per pull — the FIFO is the
+    largest per-session state array, so per-pull reads dominate HBM traffic
+    at scale."""
+    R = layout.fifo_rows
+    rel = (jnp.arange(R) - state["fifo_off"]) % R
+    onehot = (rel[None, :] == jnp.arange(w)[:, None]).astype(jnp.float32)
+    return jnp.einsum(
+        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32
+    )
+
+
+def fbank_advance_n(
+    layout: FbankLayout, state: FbankState, n_pulls: jnp.ndarray
+) -> FbankState:
+    """Advance the FIFO by `n_pulls` pulls' worth of rows at once."""
+    step = layout.opts.pull_segment_step
+    d = n_pulls.astype(jnp.int32) * step
+    new_state = FbankState(state)
+    new_state["fifo_off"] = (state["fifo_off"] + d) % layout.fifo_rows
+    new_state["fifo_len"] = state["fifo_len"] - d
+    new_state["fifo_len_f"] = state["fifo_len_f"] - d
+    return new_state
+
+
 def fbank_advance(layout: FbankLayout, state: FbankState, do: jnp.ndarray) -> FbankState:
     """Advance the FIFO by pull_segment_step rows where `do` (fbank.c:343-346)."""
     o = layout.opts

@@ -78,6 +78,21 @@ def mel_banks(
     return out
 
 
+def logmel_frames(opts: FbankOptions, wave: np.ndarray) -> np.ndarray:
+    """Offline helper: all 10 ms log-mel rows of a waveform at once
+    (reference frame semantics; used by the offline/beam decode path)."""
+    ob = OracleFbank(opts)
+    wave = np.asarray(wave, np.float32)
+    rows = []
+    pos = 0
+    while pos + ob.padded <= len(wave):
+        rows.append(ob._process_frame(wave[pos : pos + ob.padded]))
+        pos += ob.window_shift
+    if not rows:
+        return np.zeros((0, opts.num_bins), np.float32)
+    return np.stack(rows)
+
+
 class OracleFbank:
     """Streaming log-mel extractor, scalar semantics of reference fbank.c."""
 

@@ -71,6 +71,10 @@ class ModelRuntime:
     decoder_step: Callable
     joiner: Callable
     state_shapes: tuple  # ((L,dh), (L,dc)) per-session h/c trailing shapes
+    # Optional split encoder (native models): embed(w, x[N,seg,mel]) -> [N,d]
+    # batched over all windows; recurrent(w, y[S,d], h, c) -> (eout, h', c').
+    encoder_embed: Optional[Callable] = None
+    encoder_recurrent: Optional[Callable] = None
 
     @property
     def sample_rate(self) -> int:
@@ -144,6 +148,14 @@ def _native_runtime_fns(dims: TransducerDims):
         return joiner_logits(w, eout, dout)
 
     return encoder, decoder, joiner
+
+
+def _native_split_fns():
+    """Optional split-encoder pair for the engine's batched-window fast path
+    (embed over all windows at once; recurrent inside the scan)."""
+    from .lstm_transducer import encoder_embed, encoder_recurrent
+
+    return encoder_embed, encoder_recurrent
 
 
 def _verify_native(dims, native_w, interp_fns, seed=0, atol=2e-4) -> Optional[str]:
@@ -286,6 +298,9 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         (dims.layers, dims.hidden),
     )
 
+    embed = recur = None
+    if kind == "native":
+        embed, recur = _native_split_fns()
     return ModelRuntime(
         name=container.name,
         description=container.description,
@@ -300,6 +315,8 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         decoder_step=dec,
         joiner=joi,
         state_shapes=state_shapes,
+        encoder_embed=embed,
+        encoder_recurrent=recur,
     )
 
 
@@ -317,6 +334,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         {k: jnp.asarray(v) for k, v in tensors.items()}, dims
     )
     enc, dec, joi = _native_runtime_fns(dims)
+    embed, recur = _native_split_fns()
     return ModelRuntime(
         name=container.name,
         description=container.description,
@@ -331,4 +349,6 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         decoder_step=dec,
         joiner=joi,
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
+        encoder_embed=embed,
+        encoder_recurrent=recur,
     )

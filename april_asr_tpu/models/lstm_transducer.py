@@ -221,6 +221,23 @@ def _lstm_stack_step(
     return y, h_new, c_new
 
 
+def encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Stateless front half of the encoder: [N, segment, mel] -> [N, d_model].
+
+    Split out so the engine can batch it over all of a step's windows in one
+    conv launch (the recurrent half is the only sequentially-dependent part)."""
+    return conv_subsample(params, x)[:, 0, :]
+
+
+def encoder_recurrent(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Recurrent back half: embedded [S, d] -> (eout [S, J], h', c')."""
+    y, h_new, c_new = _lstm_stack_step(params, y, h, c)
+    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
+    return eout, h_new, c_new
+
+
 def encoder_step(
     params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -229,11 +246,7 @@ def encoder_step(
     Batched equivalent of the reference's encoder Run with state double-buffer
     (april_session.c:131-148); the 9-frame window subsamples to one timestep.
     """
-    y = conv_subsample(params, x)  # [S, T'=1, d]
-    y = y[:, 0, :]
-    y, h_new, c_new = _lstm_stack_step(params, y, h, c)
-    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
-    return eout, h_new, c_new
+    return encoder_recurrent(params, encoder_embed(params, x), h, c)
 
 
 def encoder_seq(

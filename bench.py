@@ -22,10 +22,14 @@ import time
 import numpy as np
 
 
-def build_runtime(bias_blank: float = 4.0):
+def build_runtime(bias_blank: float = 2.0):
     """Flagship random-weight runtime with a realistic emission rate (blank
     logit biased up so emissions are sparse like real speech)."""
     import jax
+
+    from april_asr_tpu.api.model import _enable_compile_cache
+
+    _enable_compile_cache()
 
     from april_asr_tpu.io.params import build_vocab_tables
     from april_asr_tpu.models import TransducerDims, init_transducer_params
@@ -51,104 +55,127 @@ def build_runtime(bias_blank: float = 4.0):
     if os.environ.get("APRIL_BENCH_PRECISION", "bf16") == "bf16":
         params = cast_weights(params, jnp.bfloat16)
     mp = make_model_parameters(dims, default_tokens(dims.vocab))
+    from april_asr_tpu.models.loader import _native_split_fns
+
     enc, dec, joi = _native_runtime_fns(dims)
+    embed, recur = _native_split_fns()
     return ModelRuntime(
         name="flagship-bench", description="", language="en-us",
         params=mp, fbank_opts=_fbank_opts_from_params(mp),
         vocab=build_vocab_tables(mp), dims=dims, kind="native",
         weights=params, encoder_step=enc, decoder_step=dec, joiner=joi,
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
+        encoder_embed=embed, encoder_recurrent=recur,
     )
 
 
-def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3):
-    """Returns (audio_seconds_per_second, p50_step_ms, events_per_step)."""
+def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: float = 0.2):
+    """Returns (audio_seconds_per_second, step_ms, events_per_step).
+
+    The dispatch loop is pipelined with lag-1 event readback: step k+1 is
+    dispatched before step k's packed event tensor is copied to host, so the
+    ~40 ms per-dispatch round-trip of the remote TPU backend overlaps device
+    compute (the state chain lives entirely on device). Host replay of step k
+    runs while the device executes step k+1 — exactly what the serving engine
+    does in pipelined mode.
+    """
     import jax
     import jax.numpy as jnp
 
+    from april_asr_tpu.config import EngineConfig
     from april_asr_tpu.engine import build_engine, init_engine_state
+    from april_asr_tpu.engine.batch import replay_packed
     from april_asr_tpu.engine.replay import EventReplayer
-    from april_asr_tpu.engine.step import unpack_events_np
 
-    prog = build_engine(rt, batch=S)
+    chunk = int(rt.sample_rate * chunk_seconds)
+    prog = build_engine(rt, batch=S, cfg=EngineConfig(chunk_samples=chunk))
     state = init_engine_state(prog)
-    chunk = prog.cfg.chunk_samples
     audio_s_per_step = S * chunk / rt.sample_rate
 
+    # 8 distinct tone-burst buffers cycled through the run so emissions stay
+    # at a realistic sustained rate (identical repeated audio lets every
+    # session settle into permanent silence, which would understate decode +
+    # replay cost); fed via device_put inside the timed loop so the
+    # host->device audio transfer is part of the measurement, as in serving.
     rng = np.random.default_rng(0)
     t = np.arange(chunk) / rt.sample_rate
-    base = 0.3 * np.sin(2 * np.pi * 220 * t)
-    audio_np = (
-        (base[None, :] + rng.normal(0, 0.05, size=(S, chunk))) * 20000
-    ).astype(np.int16)
-    audio = jnp.asarray(audio_np)
+    bufs = []
+    for i in range(8):
+        gate = (np.sin(2 * np.pi * 1.3 * t + i) > -0.2).astype(np.float32)
+        base = 0.35 * np.sin(2 * np.pi * (180 + 60 * i) * t) * gate
+        bufs.append(
+            ((base[None, :] + rng.normal(0, 0.05, size=(S, chunk))) * 20000).astype(
+                np.int16
+            )
+        )
     n = jnp.full(S, chunk, jnp.int32)
 
     sink = []
-    replayers = [EventReplayer(rt.params, lambda r, toks: sink.append(r)) for _ in range(S)]
+
+    class _BenchSlot:
+        __slots__ = ("replayer",)
+
+        def __init__(self):
+            self.replayer = EventReplayer(rt.params, lambda r, toks: sink.append(r))
+
+    slots = [_BenchSlot() for _ in range(S)]
 
     def replay(packed):
-        ev = unpack_events_np(np.asarray(packed))
-        ops = ev["ops"]
-        total = 0
-        for s_idx in np.nonzero(ops.reshape(S, -1).any(axis=1))[0]:
-            for p in range(ops.shape[1]):
-                if not ops[s_idx, p].any():
-                    continue
-                for j in range(ops.shape[2]):
-                    o = int(ops[s_idx, p, j])
-                    if o:
-                        replayers[s_idx].apply(
-                            o, int(ev["tok"][s_idx, p, j]),
-                            float(ev["logprob"][s_idx, p, j]),
-                            int(ev["flags"][s_idx, p, j]),
-                            int(ev["time_ms"][s_idx, p, j]),
-                            int(ev["final_k"][s_idx, p, j]),
-                        )
-                        total += 1
-        return total
+        return replay_packed(np.asarray(packed), slots)
 
-    for _ in range(warmup):
-        state, events = prog.step(rt.weights, state, audio, n)
-    jax.block_until_ready(events)
+    for i in range(warmup):
+        state, events = prog.step(rt.weights, state, jnp.asarray(bufs[i % 8]), n)
+    np.asarray(events)
 
-    times = []
     n_events = 0
-    for _ in range(steps):
-        t0 = time.perf_counter()
+    prev = None
+    t0 = time.perf_counter()
+    for i in range(steps):
+        audio = jnp.asarray(bufs[i % 8])  # h2d in the measured loop
         state, events = prog.step(rt.weights, state, audio, n)
-        n_events += replay(events)  # np.asarray blocks on the step
-        times.append(time.perf_counter() - t0)
+        if prev is not None:
+            n_events += replay(prev)  # lag-1: overlaps device compute
+        prev = events
+    n_events += replay(prev)
+    dt = time.perf_counter() - t0
 
-    p50 = float(np.percentile(times, 50))
-    return audio_s_per_step / p50, p50 * 1000.0, n_events / steps
+    step_ms = dt / steps * 1000.0
+    return audio_s_per_step / (dt / steps), step_ms, n_events / steps
 
 
 def main():
-    batches = [int(x) for x in os.environ.get("APRIL_BENCH_BATCHES", "256,1024").split(",")]
+    # (S, chunk_seconds): the 1 s chunk is the throughput point; the 200 ms
+    # chunk is the low-latency serving point (reference cadence,
+    # april_session.c:515 SEGSIZE).
+    configs = [(1024, 1.0), (1024, 0.2), (2048, 0.2)]
+    if "APRIL_BENCH_BATCHES" in os.environ:
+        configs = [
+            (int(x), float(os.environ.get("APRIL_BENCH_CHUNK_S", "1.0")))
+            for x in os.environ["APRIL_BENCH_BATCHES"].split(",")
+        ]
     steps = int(os.environ.get("APRIL_BENCH_STEPS", "20"))
     rt = build_runtime()
 
-    best = (0.0, 0, 0.0)
-    for S in batches:
+    best = (0.0, 0, 0.0, 0.0)
+    for S, chunk_s in configs:
         try:
-            thr, p50_ms, evps = bench_batch(rt, S, steps=steps)
+            thr, step_ms, evps = bench_batch(rt, S, steps=steps, chunk_seconds=chunk_s)
         except Exception as e:
-            print(f"# batch {S} failed: {type(e).__name__}: {e}", file=sys.stderr)
+            print(f"# config ({S},{chunk_s}) failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         print(
-            f"# batch={S}: {thr:,.0f} audio-s/s, p50 step {p50_ms:.1f} ms, "
-            f"{evps:.0f} events/step",
+            f"# batch={S} chunk={chunk_s}s: {thr:,.0f} audio-s/s, "
+            f"step {step_ms:.1f} ms, {evps:.0f} events/step",
             file=sys.stderr,
         )
         if thr > best[0]:
-            best = (thr, S, p50_ms)
+            best = (thr, S, step_ms, chunk_s)
 
-    thr, S, p50_ms = best
+    thr, S, step_ms, chunk_s = best
     print(
         json.dumps(
             {
-                "metric": f"audio_seconds_per_second_per_chip (flagship LSTM transducer, {S} concurrent streaming sessions, incl. host event replay; p50 step {p50_ms:.1f} ms per 200 ms chunk)",
+                "metric": f"audio_seconds_per_second_per_chip (flagship LSTM transducer, {S} concurrent streaming sessions, lag-1 pipelined dispatch incl. host event replay; {step_ms:.0f} ms per {chunk_s:.1f} s chunk)",
                 "value": round(thr, 1),
                 "unit": "audio-s/s",
                 "vs_baseline": round(thr / 1.0, 1),
