@@ -9,6 +9,8 @@ Protocol (client -> server), little-endian framed:
     [u8 opcode][u32 length][payload]
     opcode 1 = audio (payload: PCM16 mono samples at the model rate)
     opcode 2 = flush (no payload)
+    opcode 3 = info request (no payload) -> one {"info": {...}} JSON line
+               with name/description/language/sample_rate
 Server -> client: newline-delimited JSON:
     {"result": "partial"|"final"|"silence"|"cant_keep_up",
      "text": "...", "tokens": [{"t": str, "lp": float, "wb": bool,
@@ -44,10 +46,13 @@ class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr, handler_cls, engine, params):
+    def __init__(self, addr, handler_cls, engine, params, model_info=None):
         super().__init__(addr, handler_cls)
         self.engine = engine
         self.params = params
+        self.model_info = model_info or {
+            "name": "", "description": "", "language": "", "sample_rate": 16000,
+        }
         self._tick_thread = threading.Thread(target=self._tick_loop, daemon=True)
         self._tick_thread.start()
 
@@ -107,6 +112,17 @@ class _Handler(socketserver.BaseRequestHandler):
                     mask = np.zeros(engine.batch, bool)
                     mask[slot] = True
                     engine.flush(mask)
+                elif opcode == 3:
+                    info = {
+                        "info": {
+                            "name": self.server.model_info["name"],
+                            "description": self.server.model_info["description"],
+                            "language": self.server.model_info["language"],
+                            "sample_rate": self.server.model_info["sample_rate"],
+                        }
+                    }
+                    with send_lock:
+                        sock.sendall((json.dumps(info) + "\n").encode())
                 else:
                     break
         finally:
@@ -140,7 +156,18 @@ def main(argv=None) -> int:
         f"({args.slots} slots, {model.get_sample_rate()} Hz)",
         file=sys.stderr,
     )
-    server = _Server((args.host, args.port), _Handler, engine, model.runtime.params)
+    server = _Server(
+        (args.host, args.port),
+        _Handler,
+        engine,
+        model.runtime.params,
+        model_info={
+            "name": model.get_name(),
+            "description": model.get_description(),
+            "language": model.get_language(),
+            "sample_rate": model.get_sample_rate(),
+        },
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:

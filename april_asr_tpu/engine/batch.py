@@ -28,8 +28,9 @@ from .replay import EventReplayer
 from .step import EngineProgram, build_engine, init_engine_state
 
 
-def replay_packed(packed: np.ndarray, slots) -> int:
-    """Replay a packed [S, P, I, 6] event tensor into per-slot replayers.
+def replay_packed(packed, slots) -> int:
+    """Replay a packed event dict (see step.pack_events) into per-slot
+    replayers.
 
     One vectorized argwhere finds every event; the Python loop then touches
     only actual events (sustained serving is ~25 events per session-second —
@@ -53,7 +54,7 @@ def replay_packed(packed: np.ndarray, slots) -> int:
             continue
         slot.replayer.apply(
             int(ops[s, p, j]), int(tok[s, p, j]), float(lp[s, p, j]),
-            int(fl[s, p, j]), int(tm[s, p, j]), int(fk[s, p, j]),
+            int(fl[s, p, j]), int(tm[s, p]), int(fk[s, p, j]),
         )
         n += 1
     return n
@@ -95,6 +96,11 @@ class BatchEngine:
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
         self._lock = threading.Lock()
+        # Serializes every device-state transition (step/flush/slot reset):
+        # the step program donates the state buffers, so two concurrent
+        # executions would race on a deleted buffer. RLock because flush()
+        # drains via tick().
+        self._step_lock = threading.RLock()
 
         @jax.jit
         def _reset(state, init_state, idx):
@@ -134,7 +140,8 @@ class BatchEngine:
     def _reset_slot_state(self, i: int) -> None:
         """Reset device state for one slot to the initial template (one jitted
         program; the slot index is a traced argument so all slots share it)."""
-        self.state = self._reset_jit(self.state, self._init_state, jnp.int32(i))
+        with self._step_lock:
+            self.state = self._reset_jit(self.state, self._init_state, jnp.int32(i))
 
     # -- audio path --------------------------------------------------------
 
@@ -173,37 +180,39 @@ class BatchEngine:
         if not n.any():
             return False
 
-        self.state, events = self.prog.step(
-            self.weights, self.state, jnp.asarray(audio), jnp.asarray(n)
-        )
+        with self._step_lock:
+            self.state, events = self.prog.step(
+                self.weights, self.state, jnp.asarray(audio), jnp.asarray(n)
+            )
         self._replay(events)
         return True
 
     def flush(self, slot_mask: np.ndarray) -> None:
         """Run the flush program for the masked slots (aas_flush semantics:
         drains staged audio first, then pads and finalizes)."""
-        # drain remaining staged audio first
-        while any(
-            self.slots[i] is not None and len(self.slots[i].staged) > 0
-            for i in range(self.batch)
-            if slot_mask[i]
-        ):
-            self.tick()
-        for i in range(self.batch):
-            if slot_mask[i] and self.slots[i] is not None:
-                if self.slots[i].was_flushed:
-                    slot_mask = slot_mask.copy()
-                    slot_mask[i] = False  # guard, april_session.c:548-550
-                else:
-                    self.slots[i].was_flushed = True
-        if not slot_mask.any():
-            return
-        self.state, events = self.prog.flush(
-            self.weights, self.state, jnp.asarray(slot_mask)
-        )
+        with self._step_lock:
+            # drain remaining staged audio first
+            while any(
+                self.slots[i] is not None and len(self.slots[i].staged) > 0
+                for i in range(self.batch)
+                if slot_mask[i]
+            ):
+                self.tick()
+            for i in range(self.batch):
+                if slot_mask[i] and self.slots[i] is not None:
+                    if self.slots[i].was_flushed:
+                        slot_mask = slot_mask.copy()
+                        slot_mask[i] = False  # guard, april_session.c:548-550
+                    else:
+                        self.slots[i].was_flushed = True
+            if not slot_mask.any():
+                return
+            self.state, events = self.prog.flush(
+                self.weights, self.state, jnp.asarray(slot_mask)
+            )
         self._replay(events)
 
     # -- event replay ------------------------------------------------------
 
     def _replay(self, packed_events: jnp.ndarray) -> None:
-        replay_packed(np.asarray(packed_events), self.slots)
+        replay_packed(packed_events, self.slots)

@@ -45,28 +45,40 @@ from ..models.loader import ModelRuntime
 
 INNER_STEPS_EMIT = (1.0, 0.0, 0.0)  # early-emit ramp (april_session.c:449-453)
 
-# Field order of the packed event tensor ([..., 6] int32; logprob is a
-# bitcast float32). One packed array per step = ONE device->host transfer
-# per tick instead of one per field (remote TPU transfers are latency-bound).
-PACKED_EVENT_FIELDS = ("ops", "tok", "logprob", "flags", "time_ms", "final_k")
+# Packed device->host event layout: ONE int32 tensor [S, P, 2*I + 1] per
+# step (the result readback is a raw-bandwidth + per-transfer-overhead cost
+# every tick on remote TPU links, so fields bit-pack and ship together):
+#   cols [0, I)    word0 = ops(7b) | flags(2b)<<7 | final_k(7b)<<9 | tok(14b)<<16
+#       (ops fit 7 bits by events.py; final_k <= 72-token window; token ids
+#        < 16384 per the reference's params validation, src/params.c:76)
+#   cols [I, 2I)   float32 logprob bitcast to int32 (exact)
+#   col  2I        pull time_ms (identical for a pull's inner cells)
 
 
 def pack_events(events: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    cols = []
-    for k in PACKED_EVENT_FIELDS:
-        v = events[k]
-        if k == "logprob":
-            v = jax.lax.bitcast_convert_type(v, jnp.int32)
-        cols.append(v.astype(jnp.int32))
-    return jnp.stack(cols, axis=-1)
+    word0 = (
+        events["ops"].astype(jnp.int32)
+        | (events["flags"].astype(jnp.int32) << 7)
+        | (events["final_k"].astype(jnp.int32) << 9)
+        | (events["tok"].astype(jnp.int32) << 16)
+    )
+    lp = jax.lax.bitcast_convert_type(events["logprob"], jnp.int32)
+    time = events["time_ms"][:, :, :1].astype(jnp.int32)
+    return jnp.concatenate([word0, lp, time], axis=2)
 
 
-def unpack_events_np(packed: np.ndarray) -> Dict[str, np.ndarray]:
-    out = {}
-    for i, k in enumerate(PACKED_EVENT_FIELDS):
-        col = packed[..., i]
-        out[k] = col.view(np.float32) if k == "logprob" else col
-    return out
+def unpack_events_np(packed) -> Dict[str, np.ndarray]:
+    arr = np.asarray(packed)
+    I = (arr.shape[2] - 1) // 2
+    w = arr[:, :, :I]
+    return {
+        "ops": w & 0x7F,
+        "flags": (w >> 7) & 0x3,
+        "final_k": (w >> 9) & 0x7F,
+        "tok": (w >> 16) & 0x3FFF,
+        "logprob": np.ascontiguousarray(arr[:, :, I : 2 * I]).view(np.float32),
+        "time_ms": arr[:, :, 2 * I],
+    }
 
 
 def _empty_pull_events(S: int) -> Dict[str, jnp.ndarray]:

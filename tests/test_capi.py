@@ -1,0 +1,129 @@
+"""C ABI client library (native/april_capi.cc) end-to-end test.
+
+Builds libapril_tpu.so and a small C client with the system toolchain,
+starts an in-process april-serve server on an ephemeral port backed by the
+fixture model, and verifies the C client receives model metadata and
+PARTIAL/FINAL results through the reference-compatible handler.
+"""
+
+import shutil
+import subprocess
+import textwrap
+import threading
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    shutil.which("g++") is None or shutil.which("gcc") is None,
+    reason="no C/C++ toolchain",
+)
+
+torch = pytest.importorskip("torch")
+
+C_CLIENT = textwrap.dedent("""
+    #include <stdio.h>
+    #include <stdlib.h>
+    #include <string.h>
+    #include <unistd.h>
+    #include "april_tpu_api.h"
+
+    static int n_partial = 0, n_final = 0;
+
+    static void handler(void *ud, AprilResultType rt, size_t count,
+                        const AprilToken *tokens) {
+        (void)ud; (void)count; (void)tokens;
+        if (rt == APRIL_RESULT_RECOGNITION_PARTIAL) n_partial++;
+        if (rt == APRIL_RESULT_RECOGNITION_FINAL) n_final++;
+    }
+
+    int main(int argc, char **argv) {
+        aam_api_init(APRIL_VERSION);
+        AprilASRModel model = aam_create_model(argv[1]);
+        if (!model) return 2;
+        if (aam_get_sample_rate(model) != 16000) return 3;
+        if (strlen(aam_get_name(model)) == 0) return 4;
+
+        AprilConfig cfg;
+        memset(&cfg, 0, sizeof(cfg));
+        cfg.handler = handler;
+        AprilASRSession s = aas_create_session(model, cfg);
+        if (!s) return 5;
+
+        short buf[3200];
+        srand(7);
+        for (int c = 0; c < 5; c++) {
+            for (int i = 0; i < 3200; i++) buf[i] = (short)((rand() % 16384) - 8192);
+            aas_feed_pcm16(s, buf, 3200);
+        }
+        aas_flush(s);
+        for (int i = 0; i < 1200 && n_final == 0; i++) usleep(100000);
+        aas_free(s);
+        aam_free(model);
+        printf("partial=%d final=%d\\n", n_partial, n_final);
+        return (n_partial + n_final > 0) ? 0 : 6;
+    }
+""")
+
+
+@pytest.fixture(scope="module")
+def capi_lib(tmp_path_factory):
+    d = tmp_path_factory.mktemp("capi")
+    lib = d / "libapril_tpu.so"
+    subprocess.run(
+        ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+         "native/april_capi.cc", "-o", str(lib), "-pthread"],
+        check=True,
+    )
+    src = d / "client.c"
+    src.write_text(C_CLIENT)
+    exe = d / "client"
+    subprocess.run(
+        ["gcc", "-O2", str(src), "-Inative", f"-L{d}", "-lapril_tpu",
+         f"-Wl,-rpath,{d}", "-o", str(exe)],
+        check=True,
+    )
+    return exe
+
+
+def test_c_client_end_to_end(capi_lib, tmp_path):
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.cli.serve import _Handler, _Server
+    from april_asr_tpu.engine.batch import BatchEngine
+    from april_asr_tpu.testing import FixtureConfig, write_test_april
+
+    path = tmp_path / "fixture.april"
+    write_test_april(path, FixtureConfig())
+    model = Model(path)
+    engine = BatchEngine(model.runtime, batch=2)
+    server = _Server(
+        ("127.0.0.1", 0),
+        _Handler,
+        engine,
+        model.runtime.params,
+        model_info={
+            "name": model.get_name(),
+            "description": model.get_description(),
+            "language": model.get_language(),
+            "sample_rate": model.get_sample_rate(),
+        },
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # prime the engine compile so the C client's wait stays short
+        slot = engine.alloc(lambda r, toks: None)
+        engine.feed(slot, np.zeros(3200, np.int16))
+        engine.tick()
+        engine.flush(np.array([i == slot for i in range(engine.batch)]))
+        engine.free(slot)
+
+        out = subprocess.run(
+            [str(capi_lib), f"127.0.0.1:{port}"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, (out.returncode, out.stdout, out.stderr)
+        assert "partial=" in out.stdout
+    finally:
+        server.shutdown()

@@ -131,8 +131,8 @@ def test_sharded_serving_state(params):
     )
     from april_asr_tpu.engine.step import unpack_events_np
 
-    got = unpack_events_np(np.asarray(got_events))
-    ref = unpack_events_np(np.asarray(ref_events))
+    got = unpack_events_np(got_events)
+    ref = unpack_events_np(ref_events)
     # decode decisions must be identical; logprobs may differ by a few ulps
     # from sharded reduction order
     for k in ("ops", "tok", "flags", "time_ms", "final_k"):
