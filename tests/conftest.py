@@ -22,3 +22,18 @@ if os.environ.get("APRIL_TEST_TPU", "0") != "1":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    """Regenerate gitignored golden fbank fixtures from the reference oracle
+    (tools/gen_golden_fbank.py) when missing; skip silently if the reference
+    tree is absent (the fixture-using tests will then fail loudly)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    try:
+        from tools.gen_golden_fbank import ensure_goldens
+
+        ensure_goldens()
+    except FileNotFoundError:
+        pass
