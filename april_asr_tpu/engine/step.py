@@ -33,7 +33,7 @@ from ..decode.greedy import (
 )
 from ..frontend.fbank import (
     FbankLayout,
-    fbank_accept,
+    fbank_accept_batch,
     fbank_advance,
     fbank_advance_n,
     fbank_flush_pad,
@@ -150,7 +150,7 @@ def build_engine(
     seg = layout.opts.pull_segment_count
     P = layout.max_pulls_per_step
 
-    v_accept = jax.vmap(lambda s, w, n: fbank_accept(layout, s, w, n))
+    v_accept = lambda s, w, n: fbank_accept_batch(layout, s, w, n)
     v_peek = jax.vmap(lambda s: fbank_peek(layout, s))
     v_advance = jax.vmap(lambda s, d: fbank_advance(layout, s, d))
     v_flush_pad = jax.vmap(lambda s: fbank_flush_pad(layout, s))

@@ -50,7 +50,10 @@ class FbankLayout:
     def build(opts: FbankOptions, chunk: int, fifo_rows: int | None = None) -> "FbankLayout":
         padded = opts.padded_window_size
         shift = opts.window_shift
-        leftover_cap = 2 * padded
+        # Multiple of the hop so the leftover always spans whole sample rows
+        # (accept moves samples in [shift]-wide rows; see fbank_accept).
+        # Max leftover is padded + shift - 1 samples.
+        leftover_cap = ((padded + shift) + shift - 1) // shift * shift
         # Worst case: leftover nearly full (padded+shift-1 real samples) plus a
         # full chunk.
         max_total = (padded + shift - 1) + chunk
@@ -150,12 +153,80 @@ def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
     return jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
 
 
-def fbank_accept(
+def _roll_right(x: jnp.ndarray, amt: jnp.ndarray, max_amt: int) -> jnp.ndarray:
+    """Circular right-shift of the last axis by a traced amount < max_amt.
+
+    Barrel shifter: log2(max_amt) rounds of constant-offset rolls selected by
+    the amount's bits. A traced-offset roll/slice would otherwise lower to a
+    batched gather, which XLA turns into a serial per-session while loop on
+    TPU (~30 ms per engine step at S=2048 — measured; this is microseconds).
+    """
+    b = 1
+    while b < max_amt:
+        rolled = jnp.roll(x, b, axis=-1)
+        x = jnp.where((amt & b) != 0, rolled, x)
+        b <<= 1
+    return x
+
+
+def _pad_to_rows(layout: FbankLayout, wave: jnp.ndarray) -> jnp.ndarray:
+    """Append >= shift zeros and round the last axis up to whole hop rows."""
+    shift = layout.opts.window_shift
+    pad = shift + (-(layout.chunk + shift) % shift)
+    zshape = wave.shape[:-1] + (pad,)
+    return jnp.concatenate([wave, jnp.zeros(zshape, jnp.float32)], axis=-1)
+
+
+def fbank_accept_batch(
     layout: FbankLayout, state: FbankState, wave: jnp.ndarray, n: jnp.ndarray
+) -> FbankState:
+    """Batched accept: state leaves/wave/n carry a leading session axis.
+
+    Hoists the phase-alignment barrel roll above the per-session vmap behind
+    a batch-level lax.cond: whenever every session's pending stream length is
+    hop-aligned (always true when feeds are multiples of the 10 ms hop — the
+    engine's steady state), the roll's ~8 full passes over the audio are
+    skipped at runtime.
+    """
+    shift = layout.opts.window_shift
+    n = jnp.asarray(n, jnp.int32)
+    wave = jnp.where(
+        jnp.arange(layout.chunk)[None, :] < n[:, None], wave, 0.0
+    ).astype(jnp.float32)
+    phi = state["leftover_len"] % shift  # [S]
+    wave_p = _pad_to_rows(layout, wave)
+    wave_p = jax.lax.cond(
+        jnp.any(phi != 0),
+        lambda w: _roll_right(w, phi[:, None], shift),
+        lambda w: w,
+        wave_p,
+    )
+    return jax.vmap(
+        lambda s, w, m: fbank_accept(layout, s, w, m, prealigned=True)
+    )(state, wave_p, n)
+
+
+def fbank_accept(
+    layout: FbankLayout,
+    state: FbankState,
+    wave: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    prealigned: bool = False,
 ) -> FbankState:
     """Accept up to `layout.chunk` samples (`wave[:n]` valid) for one session.
 
     Batched equivalent of fbank_accept_waveform (fbank.c:174-306).
+
+    All sample movement here is either phase-bounded (one barrel roll of at
+    most `shift` samples) or row-granular via one-hot matmul contractions
+    over [shift]-wide sample rows — never a traced-offset slice or update,
+    which XLA lowers to serial per-session scatter/gather loops on TPU. The
+    streaming invariant is that the leftover is stored start-aligned, so
+    frame starts land at static multiples of the hop; the incoming wave is
+    phase-rolled by `leftover_len % shift` and row-placed at
+    `leftover_len // shift`. Frame consumption is always a whole number of
+    rows, so the new leftover is a row-granular gather.
     """
     o = layout.opts
     padded = o.padded_window_size
@@ -166,28 +237,56 @@ def fbank_accept(
     n = jnp.asarray(n, jnp.int32)
     lo_len = state["leftover_len"]
 
-    wave = jnp.where(jnp.arange(layout.chunk) < n, wave, 0.0).astype(jnp.float32)
-    buf = jnp.zeros(cap + layout.chunk, jnp.float32)
-    buf = jax.lax.dynamic_update_slice(buf, state["leftover"], (0,))
-    buf = jax.lax.dynamic_update_slice(buf, wave, (lo_len,))
-    # Zero anything the wave write smeared past the end of real data
-    # (leftover tail beyond lo_len is zero by invariant, but the wave write at
-    # offset lo_len already lands exactly at the boundary, so buf[total:] == 0).
+    if not prealigned:
+        wave = jnp.where(jnp.arange(layout.chunk) < n, wave, 0.0).astype(
+            jnp.float32
+        )
     total = lo_len + n
+
+    # ---- static-shape buf assembly -------------------------------------
+    n_views = -(-padded // shift)  # ceil: views needed to cover one frame
+    L = cap + layout.chunk + n_views * shift
+    L = ((L + shift - 1) // shift) * shift
+    nbuf = L // shift
+
+    # Phase-align the wave to the hop grid: after rolling right by
+    # lo_len % shift, sample j of the rolled array belongs at absolute
+    # buf position (lo_len // shift) * shift + j. Trailing pad is >= shift
+    # zeros, so the wrap-around lands zeros at the front. (Batch callers
+    # pre-roll above the vmap — fbank_accept_batch — so the roll can be
+    # skipped at runtime when every session is hop-aligned.)
+    row_off = lo_len // shift
+    if prealigned:
+        wave_p = wave
+    else:
+        wave_p = _roll_right(_pad_to_rows(layout, wave), lo_len % shift, shift)
+    src = wave_p.reshape(-1, shift)  # [nsrc, shift] hop-grid rows
+    nsrc = src.shape[0]
+
+    # Row placement: buf row t receives src row t - row_off.
+    t_iota = jnp.arange(nbuf, dtype=jnp.int32)[:, None]
+    s_iota = jnp.arange(nsrc, dtype=jnp.int32)[None, :]
+    place = (t_iota == s_iota + row_off).astype(jnp.float32)  # [nbuf, nsrc]
+    buf = jnp.dot(place, src, preferred_element_type=jnp.float32).reshape(L)
+
+    # Leftover is start-aligned: overlay it on [0, lo_len) (the rolled wave's
+    # garbage-free zeros occupy [row_off*shift, lo_len) and are replaced).
+    lo_padded = jnp.concatenate(
+        [state["leftover"], jnp.zeros(L - cap, jnp.float32)]
+    )
+    pos = jnp.arange(L, dtype=jnp.int32)
+    buf = jnp.where(pos < lo_len, lo_padded, buf)
 
     nframes = jnp.maximum(0, (total - padded) // shift + 1)
     space = layout.fifo_rows - state["fifo_len"]
     nf_eff = jnp.minimum(nframes, space)
     truncated = nf_eff < nframes
 
-    # Frame extraction as static slices + reshape (gather HLOs are slow on
-    # TPU): frame i = buf[shift*i : shift*i + padded]. With padded <= 4*shift
-    # (e.g. 512 <= 640 for the canonical 25 ms/10 ms config), four
-    # shift-strided views cover every frame.
-    n_views = -(-padded // shift)  # ceil
-    buf_pad = jnp.concatenate([buf, jnp.zeros(n_views * shift, jnp.float32)])
+    # Frame extraction as static slices + reshape: frame i =
+    # buf[shift*i : shift*i + padded]; n_views shift-strided views cover
+    # every frame (4 views for the canonical 25 ms / 10 ms config).
     views = [
-        buf_pad[v * shift : v * shift + F * shift].reshape(F, shift)
+        buf[v * shift : v * shift + F * shift].reshape(F, shift)
         for v in range(n_views)
     ]
     frames = jnp.concatenate(views, axis=1)[:, :padded]  # [F, padded]
@@ -211,12 +310,18 @@ def fbank_accept(
 
     # Leftover update (fbank.c:195-226); on truncation the reference returns
     # early leaving the previous leftover in place (fbank.c:190-193).
+    # `consumed` is a whole number of rows, so the new leftover is a
+    # row-granular one-hot gather: leftover row j = buf row j + nframes.
     consumed = nframes * shift
     new_lo_len = total - consumed
+    nlo = cap // shift
+    j_iota = jnp.arange(nlo, dtype=jnp.int32)[:, None]
+    r_iota = jnp.arange(nbuf, dtype=jnp.int32)[None, :]
+    take = (r_iota == j_iota + nframes).astype(jnp.float32)  # [nlo, nbuf]
+    new_leftover = jnp.dot(
+        take, buf.reshape(nbuf, shift), preferred_element_type=jnp.float32
+    ).reshape(cap)
     lo_idx = jnp.arange(cap)
-    new_leftover = jax.lax.dynamic_slice(
-        jnp.concatenate([buf, jnp.zeros(cap, jnp.float32)]), (consumed,), (cap,)
-    )
     new_leftover = jnp.where(lo_idx < new_lo_len, new_leftover, 0.0)
 
     keep_stale = truncated
