@@ -29,16 +29,24 @@ from .step import EngineProgram, build_engine, init_engine_state
 
 
 def replay_packed(packed, slots) -> int:
-    """Replay a packed event dict (see step.pack_events) into per-slot
+    """Replay a packed event tensor (see step.pack_events) into per-slot
     replayers.
 
-    One vectorized argwhere finds every event; the Python loop then touches
-    only actual events (sustained serving is ~25 events per session-second —
-    at S=1024 the per-event cost here is the host-side budget). Returns the
-    number of events applied. `slots` is indexable by session; entries may
-    be None (freed) or expose `.replayer`.
+    Fast path: the native CPython extension (native/replay_ext.c) scans the
+    int32 tensor and applies window ops / fires callbacks in C (~0.5 us per
+    event vs ~3.5 us for the Python loop below — at >20k events/step the
+    Python loop, not the TPU, is the serving bottleneck). Returns the number
+    of events applied. `slots` is indexable by session; entries may be None
+    (freed) or expose `.replayer`.
     """
+    from ..native.replay_ext import load_replay_ext
     from .step import unpack_events_np
+
+    ext = load_replay_ext()
+    if ext is not None:
+        arr = np.ascontiguousarray(np.asarray(packed), dtype=np.int32)
+        S, P, width = arr.shape
+        return ext.replay(arr.data, S, P, (width - 1) // 2, slots)
 
     ev_np = unpack_events_np(packed)
     ops = ev_np["ops"]

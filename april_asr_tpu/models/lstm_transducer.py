@@ -23,7 +23,9 @@ layers=12, context=2; all are configurable.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import os
 from typing import Dict, Tuple
 
 import jax
@@ -181,6 +183,68 @@ def conv_subsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _mm(h, params["embed_out_w"]) + params["embed_out_b"].astype(jnp.float32)
 
 
+# Pallas dispatch for the layer body. "auto" uses the fused VMEM-resident
+# kernel (ops/lstm_pallas.py) whenever tracing for TPU and the dims tile;
+# APRIL_PALLAS=0 forces the pure-XLA path, =1 forces the kernel (interpreted
+# off-TPU — for tests). GSPMD-partitioned call sites (tensor-parallel jit
+# without shard_map) must wrap model calls in `pallas_disabled()`: XLA cannot
+# partition a pallas_call, so the pure path is required there.
+_PALLAS_OFF = 0
+
+
+@contextlib.contextmanager
+def pallas_disabled():
+    global _PALLAS_OFF
+    _PALLAS_OFF += 1
+    try:
+        yield
+    finally:
+        _PALLAS_OFF -= 1
+
+
+def _pallas_wanted() -> bool:
+    if _PALLAS_OFF:
+        return False
+    mode = os.environ.get("APRIL_PALLAS", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _pick_block_s(S: int) -> int:
+    for b in (512, 256, 128):
+        if S % b == 0:
+            return b
+    return 0
+
+
+def _lstm_stack_step_pallas(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, block_s: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    from ..ops.lstm_pallas import lstm_layer_fused
+
+    interpret = jax.default_backend() != "tpu"
+
+    def layer(x, scan_in):
+        (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
+        y, h_new, c_new = lstm_layer_fused(
+            x, h_l, c_l, w_ih_t, w_hh_t, bias, w_hr_t,
+            ff1_t, ff1_b, ff2_t, ff2_b, eps,
+            block_s=block_s, interpret=interpret,
+        )
+        return y, (h_new, c_new)
+
+    scan_ins = (
+        params["w_ih_t"], params["w_hh_t"], params["bias"], params["w_hr_t"],
+        params["ff1_t"], params["ff1_b"], params["ff2_t"], params["ff2_b"],
+        params["norm_eps"], h, c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
+    return y, h_new, c_new
+
+
 def _lstm_stack_step(
     params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -189,6 +253,15 @@ def _lstm_stack_step(
     x: [S, d]; h: [L, S, d]; c: [L, S, hidden]. Scans over stacked layer
     params so the compiled body is layer-count independent.
     """
+    if _pallas_wanted():
+        from ..ops.lstm_pallas import supported_dims
+
+        S, d = x.shape
+        hidden = c.shape[2]
+        ffn = params["ff1_t"].shape[2]
+        block_s = _pick_block_s(S)
+        if block_s and supported_dims(S, d, hidden, ffn, block_s):
+            return _lstm_stack_step_pallas(params, x, h, c, block_s)
 
     def layer(x, scan_in):
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in

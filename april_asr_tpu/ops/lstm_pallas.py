@@ -1,0 +1,200 @@
+"""Fused Pallas TPU kernel for one residual-LSTM encoder layer step.
+
+The pure-JAX layer body (models/lstm_transducer.py `_lstm_stack_step`) is
+HBM-bandwidth bound at serving batch sizes: the [S, 4H] gate activations, the
+[S, F] FFN hidden, and every elementwise intermediate round-trip HBM between
+XLA fusions (~160 MB of traffic per layer at S=2048 vs ~26 MB of weights),
+capping the encoder at roughly half the MXU rate. This kernel runs the whole
+layer — both gate matmuls, the LSTM cell, the recurrent projection, the
+DoubleSwish FFN, and the BasicNorm — in one pallas_call so every intermediate
+lives in VMEM; HBM traffic drops to weights + x/h/c/y state, which is the
+floor for a streaming (batch-major, single-timestep) LSTM.
+
+Grid: 1-D over session tiles. Weight blocks use constant index maps so Mosaic
+keeps them resident in VMEM across grid steps (fetched once per layer call).
+
+Numerics: matches the pure path to f32 ulps per matmul (verified in
+tests/test_lstm_pallas.py). Bitwise parity with XLA is not achievable —
+Mosaic and XLA tile the contraction dimension differently, so f32
+accumulation order differs by ~1 ulp, and the bf16 inter-layer casts can
+amplify that to one bf16 ulp of activation noise. Measured end to end on
+TPU, greedy decode under this kernel agrees with an f32-highest-precision
+golden decode exactly as well as the pure XLA bf16/default-precision path
+does (0.66 vs 0.67 token agreement on a worst-case random-weight chaotic
+workload; real trained models have decision margins far above one ulp), so
+the kernel adds no degradation beyond the framework's established bf16
+precision policy (models/lstm_transducer.py cast_weights).
+
+Reference semantics being accelerated: the 12-layer LSTM encoder network the
+reference runs through ONNXRuntime per 40 ms frame (src/april_session.c:131-148,
+icefall lstm_transducer_stateless2 exported by extra/export-april.py:183-224).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _layer_kernel(
+    x_ref,
+    h_ref,
+    c_ref,
+    wih_ref,
+    whh_ref,
+    b_ref,
+    whr_ref,
+    ff1_ref,
+    f1b_ref,
+    ff2_ref,
+    f2b_ref,
+    eps_ref,
+    y_ref,
+    h2_ref,
+    c2_ref,
+):
+    wd = wih_ref.dtype
+    x = x_ref[:]
+    H = c_ref.shape[1]
+
+    gates = (
+        jnp.dot(x.astype(wd), wih_ref[:], preferred_element_type=jnp.float32)
+        + jnp.dot(h_ref[:].astype(wd), whh_ref[:], preferred_element_type=jnp.float32)
+        + b_ref[:].astype(jnp.float32)
+    )
+    i = gates[:, :H]
+    f = gates[:, H : 2 * H]
+    g = gates[:, 2 * H : 3 * H]
+    o = gates[:, 3 * H :]
+    # cell state stays f32 (streaming error must not compound)
+    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    h_new = jnp.dot(hc.astype(wd), whr_ref[:], preferred_element_type=jnp.float32)
+
+    y = x.astype(jnp.float32) + h_new  # residual LSTM
+    mid = (
+        jnp.dot(y.astype(wd), ff1_ref[:], preferred_element_type=jnp.float32)
+        + f1b_ref[:].astype(jnp.float32)
+    )
+    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    ff = (
+        jnp.dot(mid.astype(wd), ff2_ref[:], preferred_element_type=jnp.float32)
+        + f2b_ref[:].astype(jnp.float32)
+    )
+    yn = y + ff
+    # BasicNorm (inference form)
+    y_ref[:] = yn * jax.lax.rsqrt(
+        jnp.mean(yn * yn, axis=-1, keepdims=True) + eps_ref[0]
+    )
+    h2_ref[:] = h_new
+    c2_ref[:] = c_new
+
+
+def supported_dims(S: int, d: int, hidden: int, ffn: int, block_s: int) -> bool:
+    """Tiling constraints: lanes are 128-wide; the session tile must divide S."""
+    return (
+        S % block_s == 0
+        and d % 128 == 0
+        and hidden % 128 == 0
+        and ffn % 128 == 0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def lstm_layer_fused(
+    x,
+    h,
+    c,
+    w_ih_t,
+    w_hh_t,
+    bias,
+    w_hr_t,
+    ff1_t,
+    ff1_b,
+    ff2_t,
+    ff2_b,
+    eps,
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """One fused layer step.
+
+    x, h: [S, d] (h is the previous step's projected hidden state — icefall's
+    LSTMP layer has state dim == d_model); c: [S, hidden];
+    w_ih_t/w_hh_t: [d, 4*hidden]; w_hr_t: [hidden, d]; ff1_t: [d, ffn];
+    ff2_t: [ffn, d]; eps: scalar. Returns (y, h_new, c_new) in float32.
+    """
+    S, d = x.shape
+    hidden = c.shape[1]
+    ffn = ff1_t.shape[1]
+    grid = (S // block_s,)
+
+    def row(i):
+        return (i, 0)
+
+    def const(i):
+        return (0, 0)
+
+    eps_arr = jnp.reshape(eps.astype(jnp.float32), (1,))
+
+    flops_tile = 2 * block_s * (d * 4 * hidden * 2 + hidden * d + d * ffn * 2)
+    y, h2, c2 = pl.pallas_call(
+        _layer_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ffn, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (1,)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, hidden), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * grid[0],
+            bytes_accessed=(
+                (2 * d * 4 * hidden + hidden * d + 2 * d * ffn)
+                * w_ih_t.dtype.itemsize
+                + S * (3 * d + 2 * hidden) * 4
+            ),
+            transcendentals=S * (5 * hidden + ffn),
+        ),
+        # weights stay VMEM-resident across session tiles; default 16 MB
+        # scoped vmem is too small for f32 flagship weights (26 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        h,
+        c,
+        w_ih_t,
+        w_hh_t,
+        bias.reshape(1, -1),
+        w_hr_t,
+        ff1_t,
+        ff1_b.reshape(1, -1),
+        ff2_t,
+        ff2_b.reshape(1, -1),
+        eps_arr,
+    )
+    return y, h2, c2

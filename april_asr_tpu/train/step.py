@@ -20,6 +20,7 @@ from ..models.lstm_transducer import (
     encoder_seq,
     init_streaming_state,
     joiner_logits,
+    pallas_disabled,
 )
 from .rnnt_loss import rnnt_loss
 
@@ -51,7 +52,10 @@ def transducer_loss_fn(
         labels = batch["labels"]
         B = mel.shape[0]
         h0, c0 = init_streaming_state(dims, B)
-        f, _, _ = encoder_seq(params, mel, h0, c0, dims)  # [B, W, J]
+        # Pure-XLA encoder: the fused inference kernel has no VJP, and the
+        # train step is GSPMD-partitioned (tensor-parallel weights).
+        with pallas_disabled():
+            f, _, _ = encoder_seq(params, mel, h0, c0, dims)  # [B, W, J]
 
         ctxs = label_contexts(labels, blank_id, dims.context)  # [B, U+1, ctx]
         U1 = ctxs.shape[1]

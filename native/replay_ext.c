@@ -1,0 +1,315 @@
+/* CPython extension: native replay of packed decode-event tensors.
+ *
+ * The device step returns one packed int32 tensor [S, P, 2*I + 1] per tick
+ * (layout documented in april_asr_tpu/engine/step.py). Replaying it in
+ * Python costs ~3.5 us per event (numpy scalar extraction + dataclass
+ * construction) which makes the host — not the TPU — the serving
+ * bottleneck at >20k events/step. This module does the scan, the token
+ * window bookkeeping, and the callback dispatch in C; only the user's
+ * handler runs as Python per result.
+ *
+ * Semantics mirror april_asr_tpu/engine/replay.py exactly (op application
+ * order from decode/events.py: FIX_PREV_EOS, FINAL, RESET, APPEND, PARTIAL,
+ * POP, SILENCE), which in turn reproduces the reference handler call order
+ * inside aas_process_logits (reference src/april_session.c:199-429).
+ *
+ * Build: gcc -O2 -shared -fPIC -I<python-include> replay_ext.c -o _replay.so
+ */
+
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <structmember.h>
+
+#include <stdint.h>
+#include <string.h>
+
+/* Op bits — april_asr_tpu/decode/events.py (values are part of the packed
+ * tensor format; checked against the Python module in tests). */
+#define OP_FIX_PREV_EOS 1
+#define OP_FINAL 2
+#define OP_RESET_TOKENS 4
+#define OP_APPEND 8
+#define OP_PARTIAL 16
+#define OP_POP 32
+#define OP_SILENCE 64
+
+/* Result codes — april_asr_tpu/decode/scalar.py:25-28. */
+#define RESULT_PARTIAL 1
+#define RESULT_FINAL 2
+#define RESULT_SILENCE 4
+
+#define FLAG_SENTENCE_END 2
+
+/* ------------------------------------------------------------------ */
+/* Token: mutable C object duck-compatible with decode.scalar.ScalarToken */
+
+typedef struct {
+    PyObject_HEAD
+    int token_id;
+    double logprob;
+    int flags;
+    long time_ms;
+} TokenObject;
+
+static PyTypeObject Token_Type; /* fwd */
+
+static TokenObject *token_alloc(int token_id, double logprob, int flags, long time_ms)
+{
+    TokenObject *t = PyObject_New(TokenObject, &Token_Type);
+    if (!t) return NULL;
+    t->token_id = token_id;
+    t->logprob = logprob;
+    t->flags = flags;
+    t->time_ms = time_ms;
+    return t;
+}
+
+static PyObject *Token_new(PyTypeObject *type, PyObject *args, PyObject *kwds)
+{
+    static char *kwlist[] = {"token_id", "logprob", "flags", "time_ms", NULL};
+    int token_id = 0, flags = 0;
+    double logprob = 0.0;
+    long time_ms = 0;
+    if (!PyArg_ParseTupleAndKeywords(args, kwds, "idil", kwlist, &token_id,
+                                     &logprob, &flags, &time_ms))
+        return NULL;
+    return (PyObject *)token_alloc(token_id, logprob, flags, time_ms);
+}
+
+static PyObject *Token_copy(TokenObject *self, PyObject *Py_UNUSED(ignored))
+{
+    return (PyObject *)token_alloc(self->token_id, self->logprob, self->flags,
+                                   self->time_ms);
+}
+
+static PyObject *Token_repr(TokenObject *self)
+{
+    PyObject *lp = PyFloat_FromDouble(self->logprob);
+    if (!lp) return NULL;
+    PyObject *r = PyUnicode_FromFormat(
+        "ScalarToken(token_id=%d, logprob=%R, flags=%d, time_ms=%ld)",
+        self->token_id, lp, self->flags, self->time_ms);
+    Py_DECREF(lp);
+    return r;
+}
+
+/* Field-wise equality against anything exposing the same attributes (the
+ * pure-Python ScalarToken dataclass included). */
+static PyObject *Token_richcompare(PyObject *a, PyObject *b, int op)
+{
+    if (op != Py_EQ && op != Py_NE) Py_RETURN_NOTIMPLEMENTED;
+    if (!PyObject_HasAttrString(b, "token_id")) Py_RETURN_NOTIMPLEMENTED;
+    TokenObject *t = (TokenObject *)a;
+    int eq = 0;
+    PyObject *tid = PyObject_GetAttrString(b, "token_id");
+    PyObject *lp = PyObject_GetAttrString(b, "logprob");
+    PyObject *fl = PyObject_GetAttrString(b, "flags");
+    PyObject *tm = PyObject_GetAttrString(b, "time_ms");
+    if (tid && lp && fl && tm) {
+        eq = PyLong_AsLong(tid) == t->token_id &&
+             PyFloat_AsDouble(lp) == t->logprob &&
+             PyLong_AsLong(fl) == t->flags && PyLong_AsLong(tm) == t->time_ms;
+        if (PyErr_Occurred()) { PyErr_Clear(); eq = 0; }
+    }
+    Py_XDECREF(tid); Py_XDECREF(lp); Py_XDECREF(fl); Py_XDECREF(tm);
+    if (op == Py_NE) eq = !eq;
+    if (eq) Py_RETURN_TRUE;
+    Py_RETURN_FALSE;
+}
+
+static PyMemberDef Token_members[] = {
+    {"token_id", T_INT, offsetof(TokenObject, token_id), 0, "vocabulary token id"},
+    {"logprob", T_DOUBLE, offsetof(TokenObject, logprob), 0, "emission log-probability"},
+    {"flags", T_INT, offsetof(TokenObject, flags), 0, "WORD_BOUNDARY/SENTENCE_END bits"},
+    {"time_ms", T_LONG, offsetof(TokenObject, time_ms), 0, "emission time (ms of fed audio)"},
+    {NULL},
+};
+
+static PyMethodDef Token_methods[] = {
+    {"copy", (PyCFunction)Token_copy, METH_NOARGS, "field copy"},
+    {NULL},
+};
+
+static PyTypeObject Token_Type = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "april_asr_tpu._replay.Token",
+    .tp_basicsize = sizeof(TokenObject),
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_new = Token_new,
+    .tp_repr = (reprfunc)Token_repr,
+    .tp_richcompare = Token_richcompare,
+    .tp_members = Token_members,
+    .tp_methods = Token_methods,
+};
+
+/* ------------------------------------------------------------------ */
+/* replay(buffer, S, P, I, slots) -> n_events */
+
+static PyObject *replay(PyObject *Py_UNUSED(self), PyObject *args)
+{
+    Py_buffer view;
+    Py_ssize_t S, P, I;
+    PyObject *slots;
+    if (!PyArg_ParseTuple(args, "y*nnnO", &view, &S, &P, &I, &slots))
+        return NULL;
+    Py_ssize_t width = 2 * I + 1;
+    if (view.len < (Py_ssize_t)(S * P * width * sizeof(int32_t))) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "event buffer too small for S*P*(2I+1)");
+        return NULL;
+    }
+    if (!PySequence_Check(slots)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_TypeError, "slots must be a sequence");
+        return NULL;
+    }
+
+    const int32_t *base = (const int32_t *)view.buf;
+    long n_events = 0;
+    int failed = 0;
+
+    PyObject *res_partial = PyLong_FromLong(RESULT_PARTIAL);
+    PyObject *res_final = PyLong_FromLong(RESULT_FINAL);
+    PyObject *res_silence = PyLong_FromLong(RESULT_SILENCE);
+    PyObject *empty = PyTuple_New(0);
+    if (!res_partial || !res_final || !res_silence || !empty) failed = 1;
+
+    for (Py_ssize_t s = 0; s < S && !failed; s++) {
+        const int32_t *row0 = base + s * P * width;
+        /* fast skip: most sessions emit nothing in a step */
+        int any = 0;
+        for (Py_ssize_t p = 0; p < P && !any; p++) {
+            const int32_t *cell = row0 + p * width;
+            for (Py_ssize_t j = 0; j < I; j++)
+                if (cell[j] & 0x7F) { any = 1; break; }
+        }
+        if (!any) continue;
+
+        PyObject *slot = PySequence_GetItem(slots, s); /* new ref */
+        if (!slot) { failed = 1; break; }
+        if (slot == Py_None) { Py_DECREF(slot); continue; }
+        PyObject *replayer = PyObject_GetAttrString(slot, "replayer");
+        Py_DECREF(slot);
+        if (!replayer) { failed = 1; break; }
+        PyObject *toks = PyObject_GetAttrString(replayer, "tokens");
+        PyObject *on_result = PyObject_GetAttrString(replayer, "on_result");
+        Py_DECREF(replayer);
+        if (!toks || !on_result || !PyList_Check(toks)) {
+            Py_XDECREF(toks); Py_XDECREF(on_result);
+            if (!PyErr_Occurred())
+                PyErr_SetString(PyExc_TypeError, "replayer.tokens must be a list");
+            failed = 1;
+            break;
+        }
+
+        for (Py_ssize_t p = 0; p < P && !failed; p++) {
+            const int32_t *cell = row0 + p * width;
+            long time_ms = cell[2 * I];
+            for (Py_ssize_t j = 0; j < I && !failed; j++) {
+                int32_t w0 = cell[j];
+                int ops = w0 & 0x7F;
+                if (!ops) continue;
+                n_events++;
+                int flags = (w0 >> 7) & 0x3;
+                Py_ssize_t final_k = (w0 >> 9) & 0x7F;
+                int tok = (w0 >> 16) & 0x3FFF;
+                float logprob;
+                memcpy(&logprob, &cell[I + j], sizeof(float));
+
+                if (ops & OP_FIX_PREV_EOS) {
+                    Py_ssize_t len = PyList_GET_SIZE(toks);
+                    if (len > 0) {
+                        /* copy-on-write: callbacks may have captured the
+                         * old object (engine/replay.py:49-55) */
+                        PyObject *last = PyList_GET_ITEM(toks, len - 1);
+                        PyObject *tid = PyObject_GetAttrString(last, "token_id");
+                        PyObject *lp = PyObject_GetAttrString(last, "logprob");
+                        PyObject *fl = PyObject_GetAttrString(last, "flags");
+                        PyObject *tm = PyObject_GetAttrString(last, "time_ms");
+                        if (tid && lp && fl && tm) {
+                            TokenObject *nt = token_alloc(
+                                (int)PyLong_AsLong(tid), PyFloat_AsDouble(lp),
+                                (int)(PyLong_AsLong(fl) | FLAG_SENTENCE_END),
+                                PyLong_AsLong(tm));
+                            if (nt && !PyErr_Occurred())
+                                PyList_SetItem(toks, len - 1, (PyObject *)nt);
+                            else { Py_XDECREF(nt); failed = 1; }
+                        } else
+                            failed = 1;
+                        Py_XDECREF(tid); Py_XDECREF(lp); Py_XDECREF(fl); Py_XDECREF(tm);
+                    }
+                }
+                if (!failed && (ops & OP_FINAL)) {
+                    Py_ssize_t len = PyList_GET_SIZE(toks);
+                    if (final_k > len) final_k = len;
+                    PyObject *head = PyList_GetSlice(toks, 0, final_k);
+                    if (!head) { failed = 1; break; }
+                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_final, head, NULL);
+                    Py_DECREF(head);
+                    if (!r) { failed = 1; break; }
+                    Py_DECREF(r);
+                    if (PyList_SetSlice(toks, 0, final_k, NULL) < 0) { failed = 1; break; }
+                }
+                if (!failed && (ops & OP_RESET_TOKENS)) {
+                    if (PyList_SetSlice(toks, 0, PyList_GET_SIZE(toks), NULL) < 0) { failed = 1; break; }
+                }
+                if (!failed && (ops & OP_APPEND)) {
+                    TokenObject *nt = token_alloc(tok, (double)logprob, flags, time_ms);
+                    if (!nt || PyList_Append(toks, (PyObject *)nt) < 0) { Py_XDECREF(nt); failed = 1; break; }
+                    Py_DECREF(nt);
+                }
+                if (!failed && (ops & OP_PARTIAL)) {
+                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_partial, toks, NULL);
+                    if (!r) { failed = 1; break; }
+                    Py_DECREF(r);
+                }
+                if (!failed && (ops & OP_POP)) {
+                    Py_ssize_t len = PyList_GET_SIZE(toks);
+                    if (len > 0 && PyList_SetSlice(toks, len - 1, len, NULL) < 0) { failed = 1; break; }
+                }
+                if (!failed && (ops & OP_SILENCE)) {
+                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_silence, empty, NULL);
+                    if (!r) { failed = 1; break; }
+                    Py_DECREF(r);
+                }
+            }
+        }
+        Py_DECREF(toks);
+        Py_DECREF(on_result);
+    }
+
+    Py_XDECREF(res_partial);
+    Py_XDECREF(res_final);
+    Py_XDECREF(res_silence);
+    Py_XDECREF(empty);
+    PyBuffer_Release(&view);
+    if (failed) return NULL;
+    return PyLong_FromLong(n_events);
+}
+
+static PyMethodDef module_methods[] = {
+    {"replay", replay, METH_VARARGS,
+     "replay(buf, S, P, I, slots) -> applied event count"},
+    {NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "_replay",
+    "native packed-event replay (see april_asr_tpu/engine/replay.py)", -1,
+    module_methods,
+};
+
+PyMODINIT_FUNC PyInit__replay(void)
+{
+    PyObject *m;
+    if (PyType_Ready(&Token_Type) < 0) return NULL;
+    m = PyModule_Create(&moduledef);
+    if (!m) return NULL;
+    Py_INCREF(&Token_Type);
+    if (PyModule_AddObject(m, "Token", (PyObject *)&Token_Type) < 0) {
+        Py_DECREF(&Token_Type);
+        Py_DECREF(m);
+        return NULL;
+    }
+    return m;
+}

@@ -1,0 +1,97 @@
+"""Fused Pallas LSTM layer kernel vs the pure-XLA layer body.
+
+Runs in interpret mode on CPU (tests force JAX_PLATFORMS=cpu in conftest);
+on TPU the same kernel compiles via Mosaic. Tolerances are loose enough for
+bf16 weights, tight for f32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from april_asr_tpu.models import lstm_transducer as M
+from april_asr_tpu.ops.lstm_pallas import lstm_layer_fused, supported_dims
+
+
+def _layer_args(dtype, S=128, d=128, H=256, F=256, seed=0):
+    rng = np.random.default_rng(seed)
+    f = lambda *s: rng.normal(size=s).astype(np.float32) * 0.1
+    x = jnp.asarray(f(S, d))
+    h = jnp.asarray(f(S, d))
+    c = jnp.asarray(f(S, H))
+    w = {
+        "w_ih_t": jnp.asarray(f(d, 4 * H)).astype(dtype),
+        "w_hh_t": jnp.asarray(f(d, 4 * H)).astype(dtype),
+        "bias": jnp.asarray(f(4 * H)),
+        "w_hr_t": jnp.asarray(f(H, d)).astype(dtype),
+        "ff1_t": jnp.asarray(f(d, F)).astype(dtype),
+        "ff1_b": jnp.asarray(f(F)),
+        "ff2_t": jnp.asarray(f(F, d)).astype(dtype),
+        "ff2_b": jnp.asarray(f(d)),
+        "eps": jnp.float32(0.25),
+    }
+    return x, h, c, w
+
+
+def _pure_layer(x, h, c, w):
+    gates = (
+        M._mm(x, w["w_ih_t"]) + M._mm(h, w["w_hh_t"]) + w["bias"].astype(jnp.float32)
+    )
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    h_new = M._mm(hc, w["w_hr_t"])
+    y = x + h_new
+    ff = (
+        M._mm(
+            M._double_swish(M._mm(y, w["ff1_t"]) + w["ff1_b"].astype(jnp.float32)),
+            w["ff2_t"],
+        )
+        + w["ff2_b"].astype(jnp.float32)
+    )
+    return M._basic_norm(y + ff, w["eps"]), h_new, c_new
+
+
+@pytest.mark.parametrize("dtype,atol", [(jnp.float32, 2e-5), (jnp.bfloat16, 5e-2)])
+def test_fused_layer_matches_pure(dtype, atol):
+    x, h, c, w = _layer_args(dtype)
+    y0, h0, c0 = _pure_layer(x, h, c, w)
+    y1, h1, c1 = lstm_layer_fused(
+        x, h, c, w["w_ih_t"], w["w_hh_t"], w["bias"], w["w_hr_t"],
+        w["ff1_t"], w["ff1_b"], w["ff2_t"], w["ff2_b"], w["eps"],
+        block_s=64, interpret=jax.default_backend() != "tpu",
+    )
+    for a, b in ((y0, y1), (h0, h1), (c0, c1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol, rtol=1e-3)
+
+
+def test_stack_step_pallas_matches_pure(monkeypatch):
+    """Full 3-layer stack: forced-pallas path (interpreted) vs pure scan."""
+    dims = M.TransducerDims(
+        mel=80, segment_size=9, d_model=128, hidden=256, ffn=256,
+        joiner_dim=128, vocab=128, layers=3, decoder_groups=32,
+        conv_channels=(4, 8, 8),
+    )
+    params = M.init_transducer_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(1)
+    S = 128
+    x = jnp.asarray(rng.normal(size=(S, dims.d_model)).astype(np.float32) * 0.2)
+    h = jnp.asarray(rng.normal(size=(dims.layers, S, dims.d_model)).astype(np.float32) * 0.1)
+    c = jnp.asarray(rng.normal(size=(dims.layers, S, dims.hidden)).astype(np.float32) * 0.1)
+
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    y0, h0, c0 = M._lstm_stack_step(params, x, h, c)
+    monkeypatch.setenv("APRIL_PALLAS", "1")
+    assert supported_dims(S, dims.d_model, dims.hidden, dims.ffn, 128)
+    y1, h1, c1 = M._lstm_stack_step(params, x, h, c)
+    for a, b in ((y0, y1), (h0, h1), (c0, c1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+
+def test_pallas_disabled_context(monkeypatch):
+    monkeypatch.setenv("APRIL_PALLAS", "1")
+    assert M._pallas_wanted()
+    with M.pallas_disabled():
+        assert not M._pallas_wanted()
+    assert M._pallas_wanted()
