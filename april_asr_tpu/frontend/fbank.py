@@ -35,6 +35,16 @@ import numpy as np
 from ..config import FbankOptions
 from .oracle import K_EPS, mel_banks, povey_window
 
+# Every contraction in this module runs at HIGHEST (f32-equivalent) matmul
+# precision. XLA's *default* TPU precision rounds f32 dot operands to bf16
+# (one MXU pass) — acceptable for the encoder's weights under the bf16
+# policy, but catastrophic here: the one-hot contractions MOVE raw samples
+# and log-mel rows (0.4% value corruption), and the DFT's bf16 rounding
+# blows the log-mel error to >1.3 vs the float64 oracle (the frame tests'
+# budget is 2e-3, tests/test_fbank_jax.py). One-hot matmuls are exact at
+# HIGHEST; the cost is negligible at these shapes.
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class FbankLayout:
@@ -145,11 +155,11 @@ def _frame_dsp(layout: FbankLayout, frames: jnp.ndarray) -> jnp.ndarray:
         x = x - c * shifted
     x = x * window
 
-    re = jnp.dot(x, jnp.asarray(cos_m), preferred_element_type=jnp.float32)
-    im = jnp.dot(x, jnp.asarray(sin_m), preferred_element_type=jnp.float32)
+    re = jnp.dot(x, jnp.asarray(cos_m), preferred_element_type=jnp.float32, precision=_EXACT)
+    im = jnp.dot(x, jnp.asarray(sin_m), preferred_element_type=jnp.float32, precision=_EXACT)
     power = re * re + im * im
 
-    mel = jnp.dot(power, mel_t, preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_t, preferred_element_type=jnp.float32, precision=_EXACT)
     return jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
 
 
@@ -267,7 +277,7 @@ def fbank_accept(
     t_iota = jnp.arange(nbuf, dtype=jnp.int32)[:, None]
     s_iota = jnp.arange(nsrc, dtype=jnp.int32)[None, :]
     place = (t_iota == s_iota + row_off).astype(jnp.float32)  # [nbuf, nsrc]
-    buf = jnp.dot(place, src, preferred_element_type=jnp.float32).reshape(L)
+    buf = jnp.dot(place, src, preferred_element_type=jnp.float32, precision=_EXACT).reshape(L)
 
     # Leftover is start-aligned: overlay it on [0, lo_len) (the rolled wave's
     # garbage-free zeros occupy [row_off*shift, lo_len) and are replaced).
@@ -300,7 +310,9 @@ def fbank_accept(
     row_idx = rel - state["fifo_len"]
     write = (row_idx >= 0) & (row_idx < nf_eff)
     onehot = (row_idx[None, :] == jnp.arange(F)[:, None]).astype(jnp.float32)
-    written = jnp.einsum("fr,fb->rb", onehot, rows, preferred_element_type=jnp.float32)
+    written = jnp.einsum(
+        "fr,fb->rb", onehot, rows, preferred_element_type=jnp.float32, precision=_EXACT
+    )
     fifo = jnp.where(write[:, None], written, state["fifo"])
 
     fifo_len = state["fifo_len"] + nf_eff
@@ -319,7 +331,8 @@ def fbank_accept(
     r_iota = jnp.arange(nbuf, dtype=jnp.int32)[None, :]
     take = (r_iota == j_iota + nframes).astype(jnp.float32)  # [nlo, nbuf]
     new_leftover = jnp.dot(
-        take, buf.reshape(nbuf, shift), preferred_element_type=jnp.float32
+        take, buf.reshape(nbuf, shift), preferred_element_type=jnp.float32,
+        precision=_EXACT,
     ).reshape(cap)
     lo_idx = jnp.arange(cap)
     new_leftover = jnp.where(lo_idx < new_lo_len, new_leftover, 0.0)
@@ -376,7 +389,8 @@ def fbank_peek(layout: FbankLayout, state: FbankState) -> jnp.ndarray:
     rel = (jnp.arange(R) - state["fifo_off"]) % R
     onehot = (rel[None, :] == jnp.arange(seg)[:, None]).astype(jnp.float32)
     return jnp.einsum(
-        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32
+        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32,
+        precision=_EXACT,
     )
 
 
@@ -391,7 +405,8 @@ def fbank_front(layout: FbankLayout, state: FbankState, w: int) -> jnp.ndarray:
     rel = (jnp.arange(R) - state["fifo_off"]) % R
     onehot = (rel[None, :] == jnp.arange(w)[:, None]).astype(jnp.float32)
     return jnp.einsum(
-        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32
+        "ur,rb->ub", onehot, state["fifo"], preferred_element_type=jnp.float32,
+        precision=_EXACT,
     )
 
 
