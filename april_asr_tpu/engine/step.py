@@ -232,10 +232,9 @@ def build_engine(
                 y0_i, can_i = xs
                 dstate = dict(dstate)
                 dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
-                eout, h2, c2 = rt.encoder_recurrent(weights, y0_i, h, c)
-                m3 = can_i[None, :, None]
-                h = jnp.where(m3, h2, h)
-                c = jnp.where(m3, c2, c)
+                # the pull mask gates the h/c update inside the encoder
+                # (no separate [L, S, .] select pass over the state arrays)
+                eout, h, c = rt.encoder_recurrent(weights, y0_i, h, c, can_i)
                 dstate, events = inner_decode(weights, eout, can_i, dstate)
                 return (h, c, dstate), events
 

@@ -221,7 +221,8 @@ def _pick_block_s(S: int) -> int:
 
 
 def _lstm_stack_step_pallas(
-    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, block_s: int
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, block_s: int,
+    gate=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     from ..ops.lstm_pallas import lstm_layer_fused
 
@@ -231,7 +232,7 @@ def _lstm_stack_step_pallas(
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
         y, h_new, c_new = lstm_layer_fused(
             x, h_l, c_l, w_ih_t, w_hh_t, bias, w_hr_t,
-            ff1_t, ff1_b, ff2_t, ff2_b, eps,
+            ff1_t, ff1_b, ff2_t, ff2_b, eps, gate,
             block_s=block_s, interpret=interpret,
         )
         return y, (h_new, c_new)
@@ -246,12 +247,15 @@ def _lstm_stack_step_pallas(
 
 
 def _lstm_stack_step(
-    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One timestep through all L encoder layers.
 
     x: [S, d]; h: [L, S, d]; c: [L, S, hidden]. Scans over stacked layer
-    params so the compiled body is layer-count independent.
+    params so the compiled body is layer-count independent. `gate` (optional
+    [S] bool) keeps the carried h/c for masked sessions — the streaming
+    engine's per-pull participation mask, folded into the layer body so the
+    big state arrays aren't re-written by a separate select pass.
     """
     if _pallas_wanted():
         from ..ops.lstm_pallas import supported_dims
@@ -261,7 +265,7 @@ def _lstm_stack_step(
         ffn = params["ff1_t"].shape[2]
         block_s = _pick_block_s(S)
         if block_s and supported_dims(S, d, hidden, ffn, block_s):
-            return _lstm_stack_step_pallas(params, x, h, c, block_s)
+            return _lstm_stack_step_pallas(params, x, h, c, block_s, gate)
 
     def layer(x, scan_in):
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
@@ -275,6 +279,10 @@ def _lstm_stack_step(
         y = x + h_new  # residual LSTM
         ff = _mm(_double_swish(_mm(y, ff1_t) + ff1_b.astype(jnp.float32)), ff2_t) + ff2_b.astype(jnp.float32)
         y = _basic_norm(y + ff, eps.astype(jnp.float32))
+        if gate is not None:
+            m = gate[:, None]
+            h_new = jnp.where(m, h_new, h_l)
+            c_new = jnp.where(m, c_new, c_l)
         return y, (h_new, c_new)
 
     scan_ins = (
@@ -303,10 +311,14 @@ def encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def encoder_recurrent(
-    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Recurrent back half: embedded [S, d] -> (eout [S, J], h', c')."""
-    y, h_new, c_new = _lstm_stack_step(params, y, h, c)
+    """Recurrent back half: embedded [S, d] -> (eout [S, J], h', c').
+
+    `gate` (optional [S] bool): masked sessions keep their carried h/c —
+    the engine's per-pull participation mask (eout for those sessions is
+    still produced; the decode step masks it)."""
+    y, h_new, c_new = _lstm_stack_step(params, y, h, c, gate)
     eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new
 

@@ -89,6 +89,34 @@ def test_stack_step_pallas_matches_pure(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
 
 
+def test_stack_step_gate(monkeypatch):
+    """Gated stack step keeps carried h/c for masked sessions in both paths."""
+    dims = M.TransducerDims(
+        mel=80, segment_size=9, d_model=128, hidden=256, ffn=256,
+        joiner_dim=128, vocab=128, layers=2, decoder_groups=32,
+        conv_channels=(4, 8, 8),
+    )
+    params = M.init_transducer_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(2)
+    S = 128
+    x = jnp.asarray(rng.normal(size=(S, dims.d_model)).astype(np.float32) * 0.2)
+    h = jnp.asarray(rng.normal(size=(dims.layers, S, dims.d_model)).astype(np.float32) * 0.1)
+    c = jnp.asarray(rng.normal(size=(dims.layers, S, dims.hidden)).astype(np.float32) * 0.1)
+    gate = jnp.asarray(rng.integers(0, 2, S).astype(bool))
+
+    for mode in ("0", "1"):
+        monkeypatch.setenv("APRIL_PALLAS", mode)
+        y, h2, c2 = M._lstm_stack_step(params, x, h, c, gate)
+        yn, hn, cn = M._lstm_stack_step(params, x, h, c, None)
+        g = np.asarray(gate)
+        np.testing.assert_allclose(np.asarray(h2)[:, g], np.asarray(hn)[:, g], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(c2)[:, g], np.asarray(cn)[:, g], atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(h2)[:, ~g], np.asarray(h)[:, ~g])
+        np.testing.assert_array_equal(np.asarray(c2)[:, ~g], np.asarray(c)[:, ~g])
+        # y is computed regardless of the gate (callers mask downstream)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yn), atol=1e-6)
+
+
 def test_pallas_disabled_context(monkeypatch):
     monkeypatch.setenv("APRIL_PALLAS", "1")
     assert M._pallas_wanted()

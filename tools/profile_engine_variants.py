@@ -91,12 +91,12 @@ def make_variant(rt, batch, chunk, *, decode=True, lstm=True, fbank=True,
             evts.append(evt)
         return dstate, {k: jnp.stack([e[k] for e in evts], axis=1) for k in evts[0]}
 
-    def recurrent(weights, y0_i, h, c):
+    def recurrent(weights, y0_i, h, c, gate):
         if not lstm:
             eout = jnp.dot(y0_i, weights["enc_proj_t"].astype(jnp.float32),
                            preferred_element_type=jnp.float32)
             return eout, h + y0_i[None, :, :] * 1e-9, c
-        return rt.encoder_recurrent(weights, y0_i, h, c)
+        return rt.encoder_recurrent(weights, y0_i, h, c, gate)
 
     def step(weights, state, audio_i16, n):
         audio = audio_i16.astype(jnp.float32) / 32768.0
@@ -129,10 +129,7 @@ def make_variant(rt, batch, chunk, *, decode=True, lstm=True, fbank=True,
             y0_i, can_i = xs
             dstate = dict(dstate)
             dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
-            eout, h2, c2 = recurrent(weights, y0_i, h, c)
-            m3 = can_i[None, :, None]
-            h = jnp.where(m3, h2, h)
-            c = jnp.where(m3, c2, c)
+            eout, h, c = recurrent(weights, y0_i, h, c, can_i)
             dstate, events = inner_decode(weights, eout, can_i, dstate)
             return (h, c, dstate), events
 
@@ -157,6 +154,8 @@ def main():
         ("no-accept ", dict(accept=False)),
         ("no-front  ", dict(front=False)),
         ("no-fbank  ", dict(fbank=False)),
+        ("no-decode ", dict(decode=False)),
+        ("no-lstm   ", dict(lstm=False)),
     ]:
         step = make_variant(rt, S, chunk, **kw)
         st0 = init_engine_state(prog)
