@@ -197,8 +197,16 @@ def fbank_accept_batch(
     hop-aligned (always true when feeds are multiples of the 10 ms hop — the
     engine's steady state), the roll's ~8 full passes over the audio are
     skipped at runtime.
+
+    On TPU the frame DSP runs as the fused Pallas kernel
+    (ops/fbank_pallas.py) over the whole batch's assembled buffers: the
+    per-session assembly and ring commit stay vmapped, the bandwidth-heavy
+    frame pipeline runs once with all intermediates in VMEM.
     """
+    from ..ops.dispatch import pallas_wanted
+
     shift = layout.opts.window_shift
+    S = n.shape[0]
     n = jnp.asarray(n, jnp.int32)
     wave = jnp.where(
         jnp.arange(layout.chunk)[None, :] < n[:, None], wave, 0.0
@@ -211,6 +219,22 @@ def fbank_accept_batch(
         lambda w: w,
         wave_p,
     )
+
+    if pallas_wanted():
+        from ..ops.fbank_pallas import fused_supported, logmel_rows_fused
+
+        if fused_supported(layout, S):
+            buf, total = jax.vmap(
+                lambda s, w, m: _accept_assemble(layout, s, w, m)
+            )(state, wave_p, n)
+            frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
+            rows = logmel_rows_fused(
+                layout, frames, interpret=jax.default_backend() != "tpu"
+            )
+            return jax.vmap(
+                lambda s, b, r, t: _accept_commit(layout, s, b, r, t)
+            )(state, buf, rows, total)
+
     return jax.vmap(
         lambda s, w, m: fbank_accept(layout, s, w, m, prealigned=True)
     )(state, wave_p, n)
@@ -251,25 +275,56 @@ def fbank_accept(
         wave = jnp.where(jnp.arange(layout.chunk) < n, wave, 0.0).astype(
             jnp.float32
         )
+        wave = _roll_right(_pad_to_rows(layout, wave), lo_len % shift, shift)
+
+    buf, total = _accept_assemble(layout, state, wave, n)
+    rows = _frame_dsp(layout, _frames_from_buf(layout, buf))
+    return _accept_commit(layout, state, buf, rows, total)
+
+
+def _frames_from_buf(layout: FbankLayout, buf: jnp.ndarray) -> jnp.ndarray:
+    """[L] buf -> [max_frames, padded] frame matrix for one session.
+
+    Frame extraction as static slices + reshape: frame i =
+    buf[shift*i : shift*i + padded]; n_views shift-strided views cover
+    every frame (4 views for the canonical 25 ms / 10 ms config).
+    """
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    F = layout.max_frames
+    n_views = -(-padded // shift)
+    views = [
+        buf[v * shift : v * shift + F * shift].reshape(F, shift)
+        for v in range(n_views)
+    ]
+    return jnp.concatenate(views, axis=1)[:, :padded]  # [F, padded]
+
+
+def _accept_assemble(
+    layout: FbankLayout, state: FbankState, wave_p: jnp.ndarray, n: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hop-aligned sample buffer for one session: (buf [L], total samples).
+
+    `wave_p` must already be phase-rolled by leftover_len % shift and padded
+    to whole hop rows (fbank_accept_batch hoists that roll above the vmap).
+    Buf row t receives wave row t - leftover_len//shift; the start-aligned
+    leftover overlays [0, leftover_len).
+    """
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    cap = layout.leftover_cap
+
+    lo_len = state["leftover_len"]
     total = lo_len + n
 
-    # ---- static-shape buf assembly -------------------------------------
     n_views = -(-padded // shift)  # ceil: views needed to cover one frame
     L = cap + layout.chunk + n_views * shift
     L = ((L + shift - 1) // shift) * shift
     nbuf = L // shift
 
-    # Phase-align the wave to the hop grid: after rolling right by
-    # lo_len % shift, sample j of the rolled array belongs at absolute
-    # buf position (lo_len // shift) * shift + j. Trailing pad is >= shift
-    # zeros, so the wrap-around lands zeros at the front. (Batch callers
-    # pre-roll above the vmap — fbank_accept_batch — so the roll can be
-    # skipped at runtime when every session is hop-aligned.)
     row_off = lo_len // shift
-    if prealigned:
-        wave_p = wave
-    else:
-        wave_p = _roll_right(_pad_to_rows(layout, wave), lo_len % shift, shift)
     src = wave_p.reshape(-1, shift)  # [nsrc, shift] hop-grid rows
     nsrc = src.shape[0]
 
@@ -286,21 +341,31 @@ def fbank_accept(
     )
     pos = jnp.arange(L, dtype=jnp.int32)
     buf = jnp.where(pos < lo_len, lo_padded, buf)
+    return buf, total
+
+
+def _accept_commit(
+    layout: FbankLayout,
+    state: FbankState,
+    buf: jnp.ndarray,
+    rows: jnp.ndarray,
+    total: jnp.ndarray,
+) -> FbankState:
+    """Ring-append the new log-mel rows and update the leftover for one
+    session. `rows` is [max_frames, num_bins] (entries beyond the session's
+    frame count are garbage and masked off here)."""
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    cap = layout.leftover_cap
+    F = layout.max_frames
+    lo_len = state["leftover_len"]
+    nbuf = buf.shape[0] // shift
 
     nframes = jnp.maximum(0, (total - padded) // shift + 1)
     space = layout.fifo_rows - state["fifo_len"]
     nf_eff = jnp.minimum(nframes, space)
     truncated = nf_eff < nframes
-
-    # Frame extraction as static slices + reshape: frame i =
-    # buf[shift*i : shift*i + padded]; n_views shift-strided views cover
-    # every frame (4 views for the canonical 25 ms / 10 ms config).
-    views = [
-        buf[v * shift : v * shift + F * shift].reshape(F, shift)
-        for v in range(n_views)
-    ]
-    frames = jnp.concatenate(views, axis=1)[:, :padded]  # [F, padded]
-    rows = _frame_dsp(layout, frames)
 
     # Ring append via one-hot contraction (no scatter HLO): fifo slot r takes
     # new row (rel(r) - len) when that index is a valid new frame, where

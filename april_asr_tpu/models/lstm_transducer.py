@@ -23,9 +23,7 @@ layers=12, context=2; all are configurable.
 
 from __future__ import annotations
 
-import contextlib
 import dataclasses
-import os
 from typing import Dict, Tuple
 
 import jax
@@ -183,34 +181,9 @@ def conv_subsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _mm(h, params["embed_out_w"]) + params["embed_out_b"].astype(jnp.float32)
 
 
-# Pallas dispatch for the layer body. "auto" uses the fused VMEM-resident
-# kernel (ops/lstm_pallas.py) whenever tracing for TPU and the dims tile;
-# APRIL_PALLAS=0 forces the pure-XLA path, =1 forces the kernel (interpreted
-# off-TPU — for tests). GSPMD-partitioned call sites (tensor-parallel jit
-# without shard_map) must wrap model calls in `pallas_disabled()`: XLA cannot
-# partition a pallas_call, so the pure path is required there.
-_PALLAS_OFF = 0
-
-
-@contextlib.contextmanager
-def pallas_disabled():
-    global _PALLAS_OFF
-    _PALLAS_OFF += 1
-    try:
-        yield
-    finally:
-        _PALLAS_OFF -= 1
-
-
-def _pallas_wanted() -> bool:
-    if _PALLAS_OFF:
-        return False
-    mode = os.environ.get("APRIL_PALLAS", "auto")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu"
+# Pallas dispatch for the layer body: see ops/dispatch.py (shared with the
+# fbank frontend). Re-exported here for call sites that think in model terms.
+from ..ops.dispatch import pallas_disabled, pallas_wanted as _pallas_wanted  # noqa: E402
 
 
 def _pick_block_s(S: int) -> int:
