@@ -86,9 +86,17 @@ class BatchEngine:
         cfg: EngineConfig | None = None,
         dcfg: DecodeConfig | None = None,
         prog: EngineProgram | None = None,
+        mesh=None,
     ):
         """`prog` lets multiple engines share one compiled program (e.g. every
-        batch-1 Session of a Model reuses the same jitted step)."""
+        batch-1 Session of a Model reuses the same jitted step).
+
+        `mesh` (a jax.sharding.Mesh from parallel.make_mesh) runs the engine
+        multi-chip: weights sharded per parallel.param_specs (TP over the
+        `model` axis), session state and per-tick audio sharded over the
+        `data` axis. The host-side slot/staging logic is unchanged — GSPMD
+        compiles the same step program with collectives over ICI.
+        """
         self.rt = rt
         if prog is not None and prog.batch != batch:
             raise ValueError(f"program batch {prog.batch} != engine batch {batch}")
@@ -98,8 +106,35 @@ class BatchEngine:
         self.cfg = self.prog.cfg
         self.dcfg = self.prog.dcfg
         self.batch = batch
-        self.weights = rt.weights
-        self.state = init_engine_state(self.prog)
+        self.mesh = mesh
+        self._audio_sharding = None
+        if mesh is None:
+            self.weights = rt.weights
+            self.state = init_engine_state(self.prog)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import shard_params, state_spec_tree
+
+            data_axis = mesh.axis_names[0]
+            if batch % mesh.shape[data_axis]:
+                raise ValueError(
+                    f"batch {batch} not divisible by data axis "
+                    f"{mesh.shape[data_axis]}"
+                )
+            self.weights = shard_params(rt.weights, mesh)
+            state = init_engine_state(self.prog, self.weights)
+            specs = state_spec_tree(state, data_axis)
+
+            def to_shardings(t):
+                # explicit dict walk: PartitionSpec is a tuple subclass, so
+                # jax.tree.map would wrongly recurse into the specs themselves
+                if isinstance(t, dict):
+                    return {k: to_shardings(v) for k, v in t.items()}
+                return NamedSharding(mesh, t)
+
+            self.state = jax.device_put(state, to_shardings(specs))
+            self._audio_sharding = NamedSharding(mesh, P(data_axis))
         self._init_state = self.state  # kept on device as the reset template
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
@@ -190,10 +225,17 @@ class BatchEngine:
 
         with self._step_lock:
             self.state, events = self.prog.step(
-                self.weights, self.state, jnp.asarray(audio), jnp.asarray(n)
+                self.weights, self.state, self._put(audio), self._put(n)
             )
         self._replay(events)
         return True
+
+    def _put(self, arr):
+        """Move a [S, ...] host array to device, sharded over `data` when
+        the engine runs on a mesh."""
+        if self._audio_sharding is None:
+            return jnp.asarray(arr)
+        return jax.device_put(arr, self._audio_sharding)
 
     def flush(self, slot_mask: np.ndarray) -> None:
         """Run the flush program for the masked slots (aas_flush semantics:
@@ -216,7 +258,7 @@ class BatchEngine:
             if not slot_mask.any():
                 return
             self.state, events = self.prog.flush(
-                self.weights, self.state, jnp.asarray(slot_mask)
+                self.weights, self.state, self._put(slot_mask)
             )
         self._replay(events)
 

@@ -1,4 +1,5 @@
 from .mesh import make_mesh, param_specs, shard_batch, shard_params, state_spec_tree
+from .multihost import init_distributed, local_slot_range
 
 __all__ = [
     "make_mesh",
@@ -6,4 +7,6 @@ __all__ = [
     "shard_params",
     "shard_batch",
     "state_spec_tree",
+    "init_distributed",
+    "local_slot_range",
 ]

@@ -138,3 +138,59 @@ def test_sharded_serving_state(params):
     for k in ("ops", "tok", "flags", "time_ms", "final_k"):
         np.testing.assert_array_equal(got[k], ref[k], err_msg=k)
     np.testing.assert_allclose(got["logprob"], ref["logprob"], rtol=1e-5, atol=1e-5)
+
+
+def _tiny_runtime(params):
+    from april_asr_tpu.io.params import build_vocab_tables
+    from april_asr_tpu.models.export import make_model_parameters
+    from april_asr_tpu.models.loader import (
+        ModelRuntime,
+        _fbank_opts_from_params,
+        _native_runtime_fns,
+    )
+    from april_asr_tpu.testing import default_tokens
+
+    mp = make_model_parameters(DIMS, default_tokens(DIMS.vocab))
+    enc, dec, joi = _native_runtime_fns(DIMS)
+    return ModelRuntime(
+        name="sharded-test", description="", language="en",
+        params=mp, fbank_opts=_fbank_opts_from_params(mp),
+        vocab=build_vocab_tables(mp), dims=DIMS, kind="native",
+        weights=params, encoder_step=enc, decoder_step=dec, joiner=joi,
+        state_shapes=((DIMS.layers, DIMS.d_model), (DIMS.layers, DIMS.hidden)),
+    )
+
+
+def test_batch_engine_on_mesh_matches_single_device(params):
+    """Full BatchEngine host loop (alloc/feed/tick/flush) over a data x model
+    mesh produces the identical callback stream to unsharded execution."""
+    from april_asr_tpu.engine import BatchEngine
+
+    rt = _tiny_runtime(params)
+    rng = np.random.default_rng(7)
+    S = 8
+    audio = (rng.normal(0, 0.15, size=(S, 16000)) * 20000).astype(np.int16)
+
+    def run(mesh):
+        eng = BatchEngine(rt, batch=S, mesh=mesh)
+        streams = [[] for _ in range(S)]
+
+        def mk(i):
+            return lambda result, toks: streams[i].append(
+                (result, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+            )
+
+        slots = [eng.alloc(mk(i)) for i in range(S)]
+        for off in range(0, audio.shape[1], 3200):
+            for i, sl in enumerate(slots):
+                eng.feed(sl, audio[i, off : off + 3200])
+            while eng.tick():
+                pass
+        eng.flush(np.ones(S, bool))
+        return streams
+
+    ref = run(None)
+    got = run(make_mesh(model_parallel=2))
+    assert sum(len(s) for s in ref) > 0
+    for i in range(8):
+        assert got[i] == ref[i], f"slot {i} event stream diverged"
