@@ -117,6 +117,14 @@ class Session:
         if self._closed:
             raise ValueError("session is closed")
         pcm = np.frombuffer(data, dtype="<i2") if isinstance(data, (bytes, bytearray)) else np.asarray(data, np.int16)
+        debug_path = os.environ.get("APRIL_DEBUG_SAVE_AUDIO")
+        if debug_path:
+            # golden-input capture hook: append the float waveform exactly as
+            # the frontend sees it (reference APRIL_DEBUG_SAVE_AUDIO,
+            # CMakeLists.txt:98-100, april_session.c:496-537 — there a
+            # compile-time flag; here env-gated at runtime)
+            with open(debug_path, "ab") as f:
+                (pcm.astype(np.float32) / 32768.0).tofile(f)
         if self.asynchronous:
             # lock-free SPSC handoff to the worker; on overflow the whole
             # block is dropped and the handler fires on the caller thread
