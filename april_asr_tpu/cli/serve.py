@@ -11,6 +11,9 @@ Protocol (client -> server), little-endian framed:
     opcode 2 = flush (no payload)
     opcode 3 = info request (no payload) -> one {"info": {...}} JSON line
                with name/description/language/sample_rate
+    opcode 4 = metrics request (no payload) -> one {"metrics": {...}} JSON
+               line: sessions_active, audio_seconds, rtf, cant_keep_up,
+               events_replayed, tick_latency_s_p50/p99, staged_depth, ...
 Server -> client: newline-delimited JSON:
     {"result": "partial"|"final"|"silence"|"cant_keep_up",
      "text": "...", "tokens": [{"t": str, "lp": float, "wb": bool,
@@ -123,6 +126,17 @@ class _Handler(socketserver.BaseRequestHandler):
                     }
                     with send_lock:
                         sock.sendall((json.dumps(info) + "\n").encode())
+                elif opcode == 4:
+                    from ..utils.logging import metrics
+
+                    snap = {
+                        k: (round(v, 6) if isinstance(v, float) else v)
+                        for k, v in metrics.snapshot().items()
+                    }
+                    with send_lock:
+                        sock.sendall(
+                            (json.dumps({"metrics": snap}) + "\n").encode()
+                        )
                 else:
                     break
         finally:
@@ -144,13 +158,27 @@ def main(argv=None) -> int:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--slots", type=int, default=32, help="max concurrent sessions")
+    ap.add_argument(
+        "--mesh", action="store_true",
+        help="shard the engine over all local chips (data axis = sessions)",
+    )
+    ap.add_argument(
+        "--model-parallel", type=int, default=1,
+        help="tensor-parallel degree over the model axis (implies --mesh)",
+    )
     args = ap.parse_args(argv)
 
     from ..api import Model
     from ..engine.batch import BatchEngine
 
     model = Model(args.model)
-    engine = BatchEngine(model.runtime, batch=args.slots)
+    mesh = None
+    if args.mesh or args.model_parallel > 1:
+        from ..parallel import make_mesh
+
+        mesh = make_mesh(model_parallel=args.model_parallel)
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}", file=sys.stderr)
+    engine = BatchEngine(model.runtime, batch=args.slots, mesh=mesh)
     print(
         f"serving {model.get_name()} on {args.host}:{args.port} "
         f"({args.slots} slots, {model.get_sample_rate()} Hz)",

@@ -173,12 +173,20 @@ class BatchEngine:
                 if s is None:
                     self.slots[i] = _Slot(EventReplayer(self.rt.params, handler), handler)
                     self._reset_slot_state(i)
+                    log.metrics.incr("sessions_total")
+                    log.metrics.gauge(
+                        "sessions_active", sum(x is not None for x in self.slots)
+                    )
                     return i
+        log.metrics.incr("alloc_rejected")
         raise RuntimeError("no free session slots")
 
     def free(self, slot: int) -> None:
         with self._lock:
             self.slots[slot] = None
+            log.metrics.gauge(
+                "sessions_active", sum(x is not None for x in self.slots)
+            )
 
     def _reset_slot_state(self, i: int) -> None:
         """Reset device state for one slot to the initial template (one jitted
@@ -198,6 +206,8 @@ class BatchEngine:
             if len(s.staged) + len(pcm16) > self.max_staged:
                 # bounded-buffer overflow (audio_provider.c:59-64)
                 s.handler(RESULT_CANT_KEEP_UP, [])
+                log.metrics.incr("cant_keep_up")
+                log.metrics.incr("samples_dropped", len(pcm16))
                 log.warning("slot %d: dropping %d samples (can't keep up)", slot, len(pcm16))
                 return
             s.staged = np.concatenate([s.staged, np.asarray(pcm16, np.int16)])
@@ -223,11 +233,23 @@ class BatchEngine:
         if not n.any():
             return False
 
+        import time as _time
+
+        t0 = _time.perf_counter()
         with self._step_lock:
             self.state, events = self.prog.step(
                 self.weights, self.state, self._put(audio), self._put(n)
             )
         self._replay(events)
+        dt = _time.perf_counter() - t0
+        log.metrics.observe("tick_latency_s", dt)
+        audio_s = float(n.sum()) / self.rt.sample_rate
+        log.metrics.incr("audio_seconds", audio_s)
+        log.metrics.gauge("rtf", audio_s / dt if dt > 0 else 0.0)
+        log.metrics.gauge(
+            "staged_depth",
+            max((len(s.staged) for s in self.slots if s is not None), default=0),
+        )
         return True
 
     def _put(self, arr):
@@ -265,4 +287,4 @@ class BatchEngine:
     # -- event replay ------------------------------------------------------
 
     def _replay(self, packed_events: jnp.ndarray) -> None:
-        replay_packed(packed_events, self.slots)
+        log.metrics.incr("events_replayed", replay_packed(packed_events, self.slots))

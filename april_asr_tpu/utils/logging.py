@@ -99,6 +99,8 @@ class Metrics:
         self._lock = threading.Lock()
         self._counters = defaultdict(float)
         self._gauges = {}
+        self._samples = {}
+        self._sample_pos = {}
         self.start_time = time.time()
 
     def incr(self, name: str, amount: float = 1.0) -> None:
@@ -109,12 +111,37 @@ class Metrics:
         with self._lock:
             self._gauges[name] = value
 
+    def observe(self, name: str, value: float, keep: int = 4096) -> None:
+        """Record a sample into a bounded reservoir (ring) for percentile
+        reporting — e.g. step latency, partial-result latency."""
+        with self._lock:
+            ring = self._samples.setdefault(name, [])
+            if len(ring) >= keep:
+                ring[self._sample_pos.get(name, 0) % keep] = value
+                self._sample_pos[name] = self._sample_pos.get(name, 0) + 1
+            else:
+                ring.append(value)
+
+    def percentiles(self, name: str, qs=(50, 99)) -> dict:
+        with self._lock:
+            ring = list(self._samples.get(name, ()))
+        if not ring:
+            return {}
+        ring.sort()
+        return {
+            f"p{q}": ring[min(len(ring) - 1, int(len(ring) * q / 100))] for q in qs
+        }
+
     def snapshot(self) -> dict:
         with self._lock:
             out = dict(self._counters)
             out.update(self._gauges)
-            out["uptime_s"] = time.time() - self.start_time
-            return out
+            names = list(self._samples)
+        for n in names:
+            for q, v in self.percentiles(n).items():
+                out[f"{n}_{q}"] = v
+        out["uptime_s"] = time.time() - self.start_time
+        return out
 
 
 metrics = Metrics()

@@ -8,6 +8,7 @@ PARTIAL/FINAL results through the reference-compatible handler.
 
 import shutil
 import subprocess
+import time
 import textwrap
 import threading
 
@@ -125,5 +126,51 @@ def test_c_client_end_to_end(capi_lib, tmp_path):
         )
         assert out.returncode == 0, (out.returncode, out.stdout, out.stderr)
         assert "partial=" in out.stdout
+    finally:
+        server.shutdown()
+
+
+def test_metrics_opcode(tmp_path):
+    """opcode 4 returns a metrics snapshot with engine counters populated."""
+    import json
+    import socket
+    import struct
+
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.cli.serve import _Handler, _Server
+    from april_asr_tpu.engine.batch import BatchEngine
+    from april_asr_tpu.testing import FixtureConfig, write_test_april
+
+    path = tmp_path / "fixture.april"
+    write_test_april(path, FixtureConfig())
+    model = Model(path)
+    engine = BatchEngine(model.runtime, batch=2)
+    server = _Server(
+        ("127.0.0.1", 0), _Handler, engine, model.runtime.params,
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        f = s.makefile()
+        pcm = np.zeros(3200, np.int16).tobytes()
+        s.sendall(struct.pack("<BI", 1, len(pcm)) + pcm)
+        deadline = time.time() + 120
+        snap = {}
+        while time.time() < deadline:
+            s.sendall(struct.pack("<BI", 4, 0))
+            line = f.readline()
+            msg = json.loads(line)
+            if "metrics" in msg:
+                snap = msg["metrics"]
+                if snap.get("audio_seconds", 0) > 0:
+                    break
+            time.sleep(0.2)
+        assert snap.get("sessions_active") == 1
+        assert snap.get("audio_seconds", 0) > 0
+        assert "tick_latency_s_p50" in snap
+        assert "uptime_s" in snap
+        s.close()
     finally:
         server.shutdown()
