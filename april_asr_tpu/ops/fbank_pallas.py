@@ -61,10 +61,7 @@ def _dot3(x, w_hi_ref, w_lo_ref):
 def _kernel(
     padded: int,
     nfft: int,
-    remove_dc: bool,
-    preemph: float,
     frames_ref,
-    win_ref,
     dft_ref,
     mel_hi_ref,
     mel_lo_ref,
@@ -79,13 +76,11 @@ def _kernel(
     # from DC removal on.
     x = frames_ref[:].reshape(TS * F, padded)
 
-    if remove_dc:
-        x = x - jnp.mean(x, axis=-1, keepdims=True)
-    if preemph > 0.0:
-        shifted = jnp.concatenate([x[:, :1], x[:, :-1]], axis=-1)
-        x = x - jnp.float32(preemph) * shifted
-    x = x * win_ref[:]
-
+    # DC removal, pre-emphasis, and windowing are all LINEAR maps on the
+    # frame vector, so they are folded into the DFT matrix host-side in
+    # float64 (see `_folded_dft`) — the kernel is one matmul from raw frame
+    # to spectrum, with no VPU prework and one fewer rounding step.
+    #
     # DFT at HIGHEST: re/im are cancelling sums, and log amplifies absolute
     # spectral error near the eps floor — 3-pass measured 6.9e-3 vs the f64
     # oracle (budget 2e-3), HIGHEST 1.0e-4. The mel projection is perfectly
@@ -101,6 +96,37 @@ def _kernel(
     out_ref[:] = rows.reshape(TS, F, -1)
 
 
+@functools.lru_cache(maxsize=8)
+def _folded_dft(
+    padded: int, nfft: int, remove_dc: bool, preemph: float
+) -> np.ndarray:
+    """[padded, 2*nfft] f32: diag-window DFT with the whole linear frame
+    prefix folded in, built in float64.
+
+    The per-frame pipeline before the DFT (reference: src/fbank.c:241-257)
+    is DC-mean removal (M = I - 11^T/n), pre-emphasis (bidiagonal P with the
+    data[0] -= c*data[0] boundary quirk), and the Povey window (diag(w)) —
+    all linear, so for row-vector frames: spec = x @ (M P^T diag(w) dft).
+    One f64 fold replaces three VPU passes over every frame and removes two
+    f32 rounding steps.
+    """
+    t = np.arange(padded, dtype=np.float64)[:, None]
+    k = np.arange(nfft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * t * k / padded
+    dft = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # [padded, 2nfft]
+    m = np.asarray(povey_window(padded), np.float64)[:, None] * dft
+    if preemph > 0.0:
+        # y = P x with y[t] = x[t] - c*x[t-1], y[0] = (1-c)*x[0]
+        # row-vector form: fold P^T: m <- P^T m, (P^T m)[t] = m[t] - c*m[t+1]
+        # ... built explicitly for clarity:
+        P = np.eye(padded) - preemph * np.eye(padded, k=-1)
+        P[0, 0] = 1.0 - preemph
+        m = P.T @ m
+    if remove_dc:
+        m = m - np.mean(m, axis=0, keepdims=True)  # (I - 11^T/n) @ m
+    return m.astype(np.float32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("layout", "block_s", "interpret")
 )
@@ -114,13 +140,9 @@ def logmel_rows_fused(layout, frames, *, block_s: int = 8, interpret: bool = Fal
     nfft = o.num_fft_bins
     S, F, _ = frames.shape
 
-    window = povey_window(padded).astype(np.float32)[None, :]
-    t = np.arange(padded)[:, None]
-    k = np.arange(nfft)[None, :]
-    ang = 2.0 * np.pi * t * k / padded
-    dft = np.concatenate(
-        [np.cos(ang), np.sin(ang)], axis=1
-    ).astype(np.float32)  # [padded, 2*nfft]
+    dft = _folded_dft(
+        padded, nfft, o.remove_dc_offset, o.preemph_coeff
+    )  # [padded, 2*nfft]
     mel = mel_banks(o.num_bins, nfft, padded, o.sample_freq, o.mel_low, o.mel_high).T.astype(
         np.float32
     )  # [nfft, bins]
@@ -133,9 +155,7 @@ def logmel_rows_fused(layout, frames, *, block_s: int = 8, interpret: bool = Fal
     mel_hi, mel_lo = split(mel)
 
     grid = (S // block_s,)
-    kern = functools.partial(
-        _kernel, padded, nfft, o.remove_dc_offset, o.preemph_coeff
-    )
+    kern = functools.partial(_kernel, padded, nfft)
 
     def const(i):
         return (0, 0)
@@ -147,7 +167,6 @@ def logmel_rows_fused(layout, frames, *, block_s: int = 8, interpret: bool = Fal
             pl.BlockSpec(
                 (block_s, F, padded), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, padded), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((padded, 2 * nfft), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, o.num_bins), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((nfft, o.num_bins), const, memory_space=pltpu.VMEM),
@@ -165,7 +184,7 @@ def logmel_rows_fused(layout, frames, *, block_s: int = 8, interpret: bool = Fal
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(frames, window, dft, mel_hi, mel_lo)
+    )(frames, dft, mel_hi, mel_lo)
 
 
 def fused_supported(layout, S: int, block_s: int = 8) -> bool:

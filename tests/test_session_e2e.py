@@ -163,3 +163,46 @@ def test_async_session_delivers_results(model):
     sess.flush()
     sess.close()
     assert calls, "async session produced no callbacks"
+
+
+def test_speaker_state_roundtrip(model, tmp_path, monkeypatch):
+    """speaker_name persists LSTM/decoder state across sessions (the
+    reference reserves AprilSpeakerID but never implements it —
+    april_api.h:78-84; here it works)."""
+    import os
+
+    monkeypatch.setenv("APRIL_SPEAKER_CACHE", str(tmp_path))
+    audio = make_audio(seconds=1.0, seed=3)
+
+    calls1 = []
+    s1 = Session(model, cb_record(calls1), speaker_name="alice")
+    s1.feed_pcm16(audio.tobytes())
+    s1.close()
+    files = os.listdir(tmp_path)
+    assert files, "no speaker snapshot written"
+
+    # a named session restores state; decode continues from carried state,
+    # so its output on the same audio differs from a fresh session's
+    calls_restored = []
+    s2 = Session(model, cb_record(calls_restored), speaker_name="alice")
+    s2.feed_pcm16(audio.tobytes())
+    s2.close()
+
+    calls_fresh = []
+    s3 = Session(model, cb_record(calls_fresh))
+    s3.feed_pcm16(audio.tobytes())
+    s3.close()
+
+    assert calls_restored != calls_fresh
+
+
+def test_cant_keep_up_on_overflow(model):
+    """Overflowing the bounded staging buffer drops the block and reports
+    ERROR_CANT_KEEP_UP (reference audio_provider.c:59-64)."""
+    calls = []
+    sess = Session(model, lambda r, toks: calls.append(int(r)))
+    # shrink the bound so a single feed overflows
+    sess._engine.max_staged = 1600
+    big = np.zeros(16000, np.int16)
+    sess._engine.feed(sess._slot, big)
+    assert calls and calls[-1] == int(Result.ERROR_CANT_KEEP_UP)
