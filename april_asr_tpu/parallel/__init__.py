@@ -1,5 +1,6 @@
 from .mesh import make_mesh, param_specs, shard_batch, shard_params, state_spec_tree
 from .multihost import init_distributed, local_slot_range
+from .pipeline import pipeline_encoder_seq, stage_param_specs
 
 __all__ = [
     "make_mesh",
@@ -9,4 +10,6 @@ __all__ = [
     "state_spec_tree",
     "init_distributed",
     "local_slot_range",
+    "pipeline_encoder_seq",
+    "stage_param_specs",
 ]

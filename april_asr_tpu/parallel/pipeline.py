@@ -1,0 +1,125 @@
+"""Pipeline-parallel streaming encoder over a `stage` mesh axis.
+
+The reference runs its 3 networks sequentially on one thread
+(src/april_session.c:447-454); SURVEY.md §2.4 calls out pipeline parallelism
+as the optional strategy for encoders too deep for one chip. This module
+implements it TPU-natively: the L encoder layers are split into `ns`
+contiguous stages sharded over a mesh axis, and a chunk's P pulls flow
+through the stages as microbatches — stage s runs pull t-s while stage s-1
+runs pull t-s+1, with activations handed stage-to-stage by `ppermute` over
+ICI. One chunk completes in P + ns - 1 ticks; steady-state utilization is
+P / (P + ns - 1) per stage (e.g. 25 pulls over 4 stages: 89%).
+
+The computation is bit-identical to the sequential layer stack: each layer
+still sees exactly the same inputs in the same order, only the schedule
+changes (tests/test_pipeline.py asserts equality vs models.encoder_seq).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# the stacked per-layer parameter leaves consumed by the LSTM layer stack
+# (models/lstm_transducer.py init_transducer_params)
+STACKED_KEYS = (
+    "w_ih_t", "w_hh_t", "bias", "w_hr_t",
+    "ff1_t", "ff1_b", "ff2_t", "ff2_b", "norm_eps",
+)
+
+
+def stage_param_specs(params: Dict, stage_axis: str = "stage") -> Dict[str, P]:
+    """Layer-dim sharding for the encoder stack; everything else replicated."""
+    return {
+        k: P(stage_axis) if k in STACKED_KEYS else P() for k in params
+    }
+
+
+def pipeline_encoder_seq(
+    params: Dict,
+    y0_seq: jnp.ndarray,
+    h: jnp.ndarray,
+    c: jnp.ndarray,
+    mesh: Mesh,
+    stage_axis: str = "stage",
+):
+    """Run P embedded pulls through the layer stack, pipelined over stages.
+
+    y0_seq: [P, S, d] embedded encoder inputs (conv_subsample output per
+    pull, in pull order); h: [L, S, d], c: [L, S, hidden] carried streaming
+    state. Returns (ys [P, S, d] post-stack activations, h', c') — apply the
+    encoder projection (enc_proj_t/b) to ys for joiner inputs.
+
+    Inside jit, shard `params` with stage_param_specs and h/c with
+    P(stage_axis) on the layer dim; y0_seq replicated.
+    """
+    from ..models.lstm_transducer import _lstm_stack_step
+    from ..ops.dispatch import pallas_disabled
+
+    ns = mesh.shape[stage_axis]
+    Pn, S, d = y0_seq.shape
+    L = h.shape[0]
+    if L % ns:
+        raise ValueError(f"{L} layers not divisible by {ns} stages")
+    T = Pn + ns - 1
+
+    stacked = {k: params[k] for k in STACKED_KEYS}
+    rest = {k: v for k, v in params.items() if k not in STACKED_KEYS}
+
+    def stage_fn(stacked_s, y0_seq, h_s, c_s):
+        """Runs on every stage with its local layer slab [L/ns, ...]."""
+        sid = jax.lax.axis_index(stage_axis)
+
+        def tick(carry, t):
+            h_s, c_s, inbox = carry
+            # stage 0 reads pull t from the chunk; later stages read the
+            # activation handed over by the previous stage last tick
+            t_clamped = jnp.clip(t, 0, Pn - 1)
+            x = jnp.where(
+                sid == 0,
+                jax.lax.dynamic_index_in_dim(y0_seq, t_clamped, keepdims=False),
+                inbox,
+            )
+            active = (t - sid >= 0) & (t - sid < Pn)
+            gate = jnp.broadcast_to(active, (S,))
+            # the pure-XLA layer body: the fused Pallas kernel has no
+            # meaningful win here (the per-stage slab is shallow) and the
+            # XLA path is what encoder_seq uses, keeping parity bit-exact
+            with pallas_disabled():
+                y, h_s, c_s = _lstm_stack_step(stacked_s, x, h_s, c_s, gate=gate)
+            # hand this stage's activation to the next stage for tick t+1
+            outbox = jax.lax.ppermute(
+                y, stage_axis, [(i, (i + 1) % ns) for i in range(ns)]
+            )
+            # the last stage's activation IS pull (t - ns + 1)'s output
+            done = y * (sid == ns - 1)
+            return (h_s, c_s, outbox), done
+
+        inbox0 = jnp.zeros((S, d), jnp.float32)
+        (h_s, c_s, _), dones = jax.lax.scan(
+            tick, (h_s, c_s, inbox0), jnp.arange(T)
+        )
+        # dones[t] holds pull t-(ns-1) on the last stage (zeros elsewhere);
+        # psum broadcasts it to every stage so outputs replicate
+        ys = jax.lax.psum(dones[ns - 1 :], stage_axis)
+        return ys, h_s, c_s
+
+    shard = functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            {k: P(stage_axis) for k in STACKED_KEYS},
+            P(),  # y0_seq replicated
+            P(stage_axis),  # h sharded on layer dim
+            P(stage_axis),  # c
+        ),
+        out_specs=(P(), P(stage_axis), P(stage_axis)),
+        check_vma=False,
+    )
+    ys, h_new, c_new = shard(stage_fn)(stacked, y0_seq, h, c)
+    del rest
+    return ys, h_new, c_new
