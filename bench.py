@@ -134,17 +134,23 @@ def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: flo
 
     n_events = 0
     prev = None
+    lat = []  # per-step partial-result latency: dispatch -> events replayed
+    t_disp = None
     t0 = time.perf_counter()
     for i in range(steps):
         state, events = prog.step(rt.weights, state, bufs[i % 8], n)
+        t_new = time.perf_counter()
         if prev is not None:
             n_events += replay(prev)  # lag-1: overlaps device compute
-        prev = events
+            lat.append(time.perf_counter() - t_disp)
+        prev, t_disp = events, t_new
     n_events += replay(prev)
+    lat.append(time.perf_counter() - t_disp)
     dt = time.perf_counter() - t0
 
     step_ms = dt / steps * 1000.0
-    return audio_s_per_step / (dt / steps), step_ms, n_events / steps
+    p50, p99 = (float(np.percentile(lat, q)) * 1000.0 for q in (50, 99))
+    return audio_s_per_step / (dt / steps), step_ms, n_events / steps, (p50, p99)
 
 
 def main():
@@ -163,13 +169,17 @@ def main():
     best = (0.0, 0, 0.0, 0.0)
     for S, chunk_s in configs:
         try:
-            thr, step_ms, evps = bench_batch(rt, S, steps=steps, chunk_seconds=chunk_s)
+            thr, step_ms, evps, (p50, p99) = bench_batch(
+                rt, S, steps=steps, chunk_seconds=chunk_s
+            )
         except Exception as e:
             print(f"# config ({S},{chunk_s}) failed: {type(e).__name__}: {e}", file=sys.stderr)
             continue
         print(
             f"# batch={S} chunk={chunk_s}s: {thr:,.0f} audio-s/s, "
-            f"step {step_ms:.1f} ms, {evps:.0f} events/step",
+            f"step {step_ms:.1f} ms, {evps:.0f} events/step, "
+            f"partial latency p50 {p50:.0f} ms / p99 {p99:.0f} ms "
+            f"(+ up to {chunk_s*1000:.0f} ms staging)",
             file=sys.stderr,
         )
         if thr > best[0]:
