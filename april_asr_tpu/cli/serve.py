@@ -94,11 +94,16 @@ class _Handler(socketserver.BaseRequestHandler):
                 except OSError:
                     pass
 
-        try:
-            slot = engine.alloc(on_result)
-        except RuntimeError:
-            sock.sendall(b'{"error": "no free session slots"}\n')
-            return
+        # the session slot is claimed lazily on the first audio/flush opcode
+        # so info/metrics polls work (and cost nothing) even when every slot
+        # is occupied — the exact overload condition metrics diagnose
+        slot = None
+
+        def ensure_slot():
+            nonlocal slot
+            if slot is None:
+                slot = engine.alloc(on_result)
+            return slot
 
         try:
             while True:
@@ -110,10 +115,19 @@ class _Handler(socketserver.BaseRequestHandler):
                 if payload is None:
                     break
                 if opcode == 1:
-                    engine.feed(slot, np.frombuffer(payload, dtype="<i2"))
+                    try:
+                        engine.feed(ensure_slot(), np.frombuffer(payload, dtype="<i2"))
+                    except RuntimeError:
+                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        return
                 elif opcode == 2:
+                    try:
+                        s = ensure_slot()
+                    except RuntimeError:
+                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        return
                     mask = np.zeros(engine.batch, bool)
-                    mask[slot] = True
+                    mask[s] = True
                     engine.flush(mask)
                 elif opcode == 3:
                     info = {
@@ -140,7 +154,8 @@ class _Handler(socketserver.BaseRequestHandler):
                 else:
                     break
         finally:
-            engine.free(slot)
+            if slot is not None:
+                engine.free(slot)
 
     def _recv_exact(self, n):
         buf = b""

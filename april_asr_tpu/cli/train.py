@@ -90,6 +90,13 @@ def main(argv=None) -> int:
     opts = FbankOptions(num_bins=dims.mel)
     examples = featurize(examples, opts, tok)
     print(f"train set: {len(examples)} utterances")
+    if not examples:
+        print(
+            "error: no usable training utterances (all clips shorter than one "
+            "encoder window, or empty transcripts)",
+            file=sys.stderr,
+        )
+        return 1
     val = None
     if args.val_manifest:
         val = featurize(read_manifest(args.val_manifest), opts, tok)

@@ -35,11 +35,13 @@ def init_distributed(
     All arguments default to auto-detection (TPU pod metadata or the
     JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars),
     matching `jax.distributed.initialize` semantics. Call once per process
-    before any other JAX operation. No-ops when the runtime is already up
-    or when running single-process with no coordinator configured.
+    before any other JAX operation — `jax.distributed.initialize` refuses to
+    run after the XLA backend has been touched, so this guard must not
+    itself query devices/process_count. No-ops when the runtime is already
+    up or when running single-process with no coordinator configured.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
@@ -85,5 +87,11 @@ def local_slot_range(batch: int, mesh) -> Tuple[int, int]:
         return (0, 0)
     lo, hi = min(coords), max(coords)
     if coords != list(range(lo, hi + 1)):
-        log.warning("non-contiguous local data shards %s; using span", coords)
+        # a span would include slots whose shards live on OTHER hosts —
+        # two hosts staging the same slot cross-wires sessions. Reorder the
+        # mesh so each host's data coordinates are contiguous instead.
+        raise ValueError(
+            f"process {jax.process_index()} owns non-contiguous data shards "
+            f"{coords}; build the mesh with host-contiguous device order"
+        )
     return (lo * per_shard, (hi + 1) * per_shard)

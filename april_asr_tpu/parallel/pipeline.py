@@ -68,7 +68,6 @@ def pipeline_encoder_seq(
     T = Pn + ns - 1
 
     stacked = {k: params[k] for k in STACKED_KEYS}
-    rest = {k: v for k, v in params.items() if k not in STACKED_KEYS}
 
     def stage_fn(stacked_s, y0_seq, h_s, c_s):
         """Runs on every stage with its local layer slab [L/ns, ...]."""
@@ -121,5 +120,4 @@ def pipeline_encoder_seq(
         check_vma=False,
     )
     ys, h_new, c_new = shard(stage_fn)(stacked, y0_seq, h, c)
-    del rest
     return ys, h_new, c_new

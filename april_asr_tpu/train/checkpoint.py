@@ -19,17 +19,30 @@ from ..io.safetensors import load_safetensors_bytes, save_safetensors_bytes
 from ..models.lstm_transducer import DERIVED_KEYS
 
 
+def _to_host(v) -> np.ndarray:
+    """Fetch a (possibly multi-host-sharded) array to host memory.
+
+    np.asarray raises on jax.Arrays spanning non-addressable devices; gather
+    those across processes first so every host writes a complete checkpoint.
+    """
+    if isinstance(v, jax.Array) and not v.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        v = multihost_utils.process_allgather(v, tiled=True)
+    return np.asarray(v)
+
+
 def _flatten_state(state) -> Tuple[Dict[str, np.ndarray], dict]:
     """TrainState -> flat name->array dict + metadata. Optimizer-state leaves
     are keyed by flatten order; resume must use the same optimizer config
     (same treedef), which the step counter metadata lets us sanity-check."""
     params = {
-        f"params.{k}": np.asarray(v)
+        f"params.{k}": _to_host(v)
         for k, v in state.params.items()
         if k not in DERIVED_KEYS
     }
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
-    opt = {f"opt.{i:04d}": np.asarray(v) for i, v in enumerate(opt_leaves)}
+    opt = {f"opt.{i:04d}": _to_host(v) for i, v in enumerate(opt_leaves)}
     meta = {"step": int(state.step), "n_opt_leaves": len(opt_leaves)}
     return {**params, **opt}, meta
 
