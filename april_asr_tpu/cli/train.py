@@ -20,12 +20,22 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 import time
 
 
-def build_dims(preset: str, vocab: int):
+def build_dims(preset: str, arch: str, vocab: int):
     from ..models import TransducerDims
+    from ..models.conformer import ConformerDims
 
+    if arch == "conformer":
+        if preset == "flagship":
+            return ConformerDims(vocab=vocab)
+        return ConformerDims(
+            d_model=64, heads=2, ffn=128, conv_kernel=4, att_context=16,
+            joiner_dim=64, vocab=vocab, layers=2, decoder_groups=16,
+            conv_channels=(4, 8, 8),
+        )
     if preset == "flagship":
         return TransducerDims(vocab=vocab)
     if preset == "tiny":
@@ -42,6 +52,10 @@ def main(argv=None) -> int:
     ap.add_argument("--val-manifest", default=None)
     ap.add_argument("--out-dir", required=True)
     ap.add_argument("--preset", choices=["tiny", "flagship"], default="flagship")
+    ap.add_argument(
+        "--arch", choices=["lstm", "conformer"], default="lstm",
+        help="model family (conformer exports require --export-form native)",
+    )
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=1e-3)
@@ -62,6 +76,7 @@ def main(argv=None) -> int:
 
     from ..config import FbankOptions
     from ..models import TransducerDims, init_transducer_params
+    from ..models.conformer import init_conformer_params
     from ..models.export import make_model_parameters, save_april
     from ..parallel import make_mesh, shard_batch, shard_params
     from ..train import make_train_step
@@ -86,7 +101,7 @@ def main(argv=None) -> int:
     tok = PieceTokenizer(pieces)
     print(f"vocab: {tok.vocab_size} pieces")
 
-    dims = build_dims(args.preset, tok.vocab_size)
+    dims = build_dims(args.preset, args.arch, tok.vocab_size)
     opts = FbankOptions(num_bins=dims.mel)
     examples = featurize(examples, opts, tok)
     print(f"train set: {len(examples)} utterances")
@@ -121,7 +136,8 @@ def main(argv=None) -> int:
     )
     init_fn, step_fn = make_train_step(dims, blank_id=tok.blank_id, optimizer=optimizer)
 
-    params = init_transducer_params(jax.random.PRNGKey(args.seed), dims)
+    init_params = (init_conformer_params if args.arch == "conformer" else init_transducer_params)
+    params = init_params(jax.random.PRNGKey(args.seed), dims)
     params = shard_params(params, mesh)
     state = init_fn(params)
     if args.resume:

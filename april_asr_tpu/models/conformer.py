@@ -1,0 +1,353 @@
+"""Streaming Conformer-transducer encoder (TPU-native model family).
+
+The reference supports exactly one architecture — the 3-ONNX-graph LSTM
+transducer (src/april_model.c:36 rejects everything else). This module adds
+the attention-based streaming family BASELINE.json config 5 calls for
+("Zipformer/Conformer-transducer streaming model sharded across chips"),
+designed for the same batched engine contract as the LSTM path
+(models/loader.py ModelRuntime): per-pull step functions over `[S, ...]`
+state arrays resident in HBM.
+
+Streaming design: each fbank pull embeds its 9-frame window to one d_model
+frame (the same conv subsampling as the LSTM path), and every Conformer
+block attends causally over a ring KV-cache of the last `att_context`
+frames — O(1) state per session, the attention-model analog of the carried
+LSTM (h, c) (SURVEY.md §5 "long-context": chunked causal attention with KV
+cache). All per-layer state packs into the engine's two state arrays:
+
+    h[L, S, 2*C*d]          k-cache ‖ v-cache (ring, slot = pos mod C)
+    c[L, S, (k-1)*d + 1]    causal-conv left context ‖ position counter
+
+so the whole serving stack — fused engine step, masked pulls, flush, slot
+reset, speaker snapshots, mesh sharding — works unchanged.
+
+Block structure (macaron Conformer): x += ½FF1(LN x); x += MHSA(LN x) with
+per-distance relative bias; x += CausalConv(LN x) (pointwise-GLU →
+depthwise k → swish → pointwise); x += ½FF2(LN x); x = LN_out(x).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .lstm_transducer import (
+    Params,
+    _double_swish,
+    _mm,
+    conv_subsample,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerDims:
+    mel: int = 80
+    segment_size: int = 9
+    segment_step: int = 4
+    d_model: int = 256
+    heads: int = 4
+    ffn: int = 1024
+    conv_kernel: int = 8  # causal depthwise width (current + k-1 past frames)
+    att_context: int = 64  # C: attended history length incl. current frame
+    joiner_dim: int = 256
+    vocab: int = 500
+    layers: int = 12
+    context: int = 2
+    decoder_groups: int = 64
+    conv_channels: Tuple[int, int, int] = (8, 32, 32)
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.heads
+
+    @property
+    def conv_freq_out(self) -> int:
+        return ((self.mel - 1) // 2 - 1) // 2
+
+    @property
+    def state_shapes(self):
+        """Engine h/c per-layer row widths (see module docstring)."""
+        d, C, k = self.d_model, self.att_context, self.conv_kernel
+        return (
+            (self.layers, 2 * C * d),
+            (self.layers, (k - 1) * d + 1),
+        )
+
+
+def init_conformer_params(key, dims: ConformerDims, dtype=jnp.float32) -> Params:
+    L, d, F = dims.layers, dims.d_model, dims.ffn
+    H, C, k = dims.heads, dims.att_context, dims.conv_kernel
+    J, V = dims.joiner_dim, dims.vocab
+    c1, c2, c3 = dims.conv_channels
+    ks = iter(jax.random.split(key, 32))
+
+    def w(kk, shape, scale=None):
+        fan_in = shape[-2] if len(shape) >= 2 else shape[-1]
+        s = scale if scale is not None else fan_in ** -0.5
+        return (jax.random.normal(next(ks), shape) * s).astype(dtype)
+
+    def ln(suffix):
+        return {
+            f"ln{suffix}_s": jnp.ones((L, d), dtype),
+            f"ln{suffix}_b": jnp.zeros((L, d), dtype),
+        }
+
+    params: Params = {
+        # shared conv-subsampling embed (identical keys to the LSTM path so
+        # conv_subsample and the engine's batched-embed fast path reuse)
+        "conv1_w": w(None, (c1, 1, 3, 3), 0.3),
+        "conv1_b": jnp.zeros(c1, dtype),
+        "conv2_w": w(None, (c2, c1, 3, 3), 0.1),
+        "conv2_b": jnp.zeros(c2, dtype),
+        "conv3_w": w(None, (c3, c2, 3, 3), 0.1),
+        "conv3_b": jnp.zeros(c3, dtype),
+        "embed_out_w": w(None, (c3 * dims.conv_freq_out, d)),
+        "embed_out_b": jnp.zeros(d, dtype),
+        # stacked Conformer blocks
+        "ff1_a": w(None, (L, d, F)),
+        "ff1_ab": jnp.zeros((L, F), dtype),
+        "ff1_o": w(None, (L, F, d)),
+        "ff1_ob": jnp.zeros((L, d), dtype),
+        "att_q": w(None, (L, d, d)),
+        "att_k": w(None, (L, d, d)),
+        "att_v": w(None, (L, d, d)),
+        "att_o": w(None, (L, d, d)),
+        "att_qb": jnp.zeros((L, d), dtype),
+        "att_kb": jnp.zeros((L, d), dtype),
+        "att_vb": jnp.zeros((L, d), dtype),
+        "att_ob": jnp.zeros((L, d), dtype),
+        "rel_bias": jnp.zeros((L, H, C), dtype),
+        "cv_pw1": w(None, (L, d, 2 * d)),
+        "cv_pw1b": jnp.zeros((L, 2 * d), dtype),
+        "cv_dw": w(None, (L, k, d), 0.3),
+        "cv_dwb": jnp.zeros((L, d), dtype),
+        "cv_pw2": w(None, (L, d, d)),
+        "cv_pw2b": jnp.zeros((L, d), dtype),
+        "ff2_a": w(None, (L, d, F)),
+        "ff2_ab": jnp.zeros((L, F), dtype),
+        "ff2_o": w(None, (L, F, d)),
+        "ff2_ob": jnp.zeros((L, d), dtype),
+        **ln(1), **ln(2), **ln(3), **ln(4), **ln("o"),
+        # encoder -> joiner projection + stateless decoder + joiner: the
+        # exact key set of the LSTM path so decoder_step / joiner_logits /
+        # precompute_decoder_tables are shared
+        "enc_proj_t": w(None, (d, J)),
+        "enc_proj_b": jnp.zeros(J, dtype),
+        "dec_embed": w(None, (V, d), 0.5),
+        "dec_conv_w": w(None, (d, d // dims.decoder_groups, dims.context), 0.3),
+        "dec_proj_t": w(None, (d, J)),
+        "dec_proj_b": jnp.zeros(J, dtype),
+        "join_t": w(None, (J, V)),
+        "join_b": jnp.zeros(V, dtype),
+    }
+    return params
+
+
+def _layer_norm(x, s, b, eps=1e-5):
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * s.astype(jnp.float32) + b.astype(
+        jnp.float32
+    )
+
+
+def _ff(x, a, ab, o, ob):
+    mid = _double_swish(_mm(x, a) + ab.astype(jnp.float32))
+    return _mm(mid, o) + ob.astype(jnp.float32)
+
+
+def _swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+# ---------------------------------------------------------------------------
+# streaming step (one pull)
+# ---------------------------------------------------------------------------
+
+
+def _unpack(h_l, c_l, dims: ConformerDims):
+    S = h_l.shape[0]
+    d, C, k = dims.d_model, dims.att_context, dims.conv_kernel
+    kc = h_l[:, : C * d].reshape(S, C, d)
+    vc = h_l[:, C * d :].reshape(S, C, d)
+    conv = c_l[:, : (k - 1) * d].reshape(S, k - 1, d)
+    pos = c_l[:, -1]
+    return kc, vc, conv, pos
+
+
+def _pack(kc, vc, conv, pos):
+    S = kc.shape[0]
+    return (
+        jnp.concatenate([kc.reshape(S, -1), vc.reshape(S, -1)], axis=1),
+        jnp.concatenate([conv.reshape(S, -1), pos[:, None]], axis=1),
+    )
+
+
+def _block_step(p_l, x, h_l, c_l, dims: ConformerDims):
+    """One Conformer block on one frame x [S, d]; returns (y, h_l', c_l')."""
+    S, d = x.shape
+    H, dk, C, k = dims.heads, dims.head_dim, dims.att_context, dims.conv_kernel
+    kc, vc, conv_st, pos = _unpack(h_l, c_l, dims)
+    ipos = pos.astype(jnp.int32)  # frame index of THIS pull (0-based)
+
+    x = x + 0.5 * _ff(
+        _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]),
+        p_l["ff1_a"], p_l["ff1_ab"], p_l["ff1_o"], p_l["ff1_ob"],
+    )
+
+    # -- causal MHSA over the ring cache ----------------------------------
+    u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
+    q = (_mm(u, p_l["att_q"]) + p_l["att_qb"].astype(jnp.float32)).reshape(S, H, dk)
+    kn = (_mm(u, p_l["att_k"]) + p_l["att_kb"].astype(jnp.float32))
+    vn = (_mm(u, p_l["att_v"]) + p_l["att_vb"].astype(jnp.float32))
+    # write current frame into ring slot pos % C (one-hot select: no scatter)
+    slot = ipos % C
+    onehot = (jnp.arange(C)[None, :] == slot[:, None])[..., None]  # [S, C, 1]
+    kc = jnp.where(onehot, kn[:, None, :], kc)
+    vc = jnp.where(onehot, vn[:, None, :], vc)
+    # slot j holds the latest frame ≡ j (mod C): distance = (slot - j) mod C
+    dist = (slot[:, None] - jnp.arange(C)[None, :]) % C  # [S, C]
+    valid = dist <= jnp.minimum(ipos, C - 1)[:, None]
+    scores = jnp.einsum(
+        "shd,schd->shc", q, kc.reshape(S, C, H, dk), preferred_element_type=jnp.float32
+    )
+    scores = scores * (dk ** -0.5)
+    bias = p_l["rel_bias"].astype(jnp.float32)[:, dist]  # [H, S, C]
+    scores = scores + jnp.transpose(bias, (1, 0, 2))
+    scores = jnp.where(valid[:, None, :], scores, -jnp.inf)
+    w = jax.nn.softmax(scores, axis=-1)
+    att = jnp.einsum(
+        "shc,schd->shd", w, vc.reshape(S, C, H, dk), preferred_element_type=jnp.float32
+    ).reshape(S, d)
+    x = x + _mm(att, p_l["att_o"]) + p_l["att_ob"].astype(jnp.float32)
+
+    # -- causal conv module ------------------------------------------------
+    u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
+    g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2d]
+    g = g[:, :d] * jax.nn.sigmoid(g[:, d:])  # GLU
+    window = jnp.concatenate([conv_st, g[:, None, :]], axis=1)  # [S, k, d]
+    dw = jnp.einsum(
+        "skd,kd->sd", window, p_l["cv_dw"].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) + p_l["cv_dwb"].astype(jnp.float32)
+    x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
+    conv_st = window[:, 1:, :]
+
+    x = x + 0.5 * _ff(
+        _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
+        p_l["ff2_a"], p_l["ff2_ab"], p_l["ff2_o"], p_l["ff2_ob"],
+    )
+    y = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
+
+    h_l, c_l = _pack(kc, vc, conv_st, pos + 1.0)
+    return y, h_l, c_l
+
+
+_STACKED = (
+    "ff1_a", "ff1_ab", "ff1_o", "ff1_ob",
+    "att_q", "att_k", "att_v", "att_o",
+    "att_qb", "att_kb", "att_vb", "att_ob", "rel_bias",
+    "cv_pw1", "cv_pw1b", "cv_dw", "cv_dwb", "cv_pw2", "cv_pw2b",
+    "ff2_a", "ff2_ab", "ff2_o", "ff2_ob",
+    "ln1_s", "ln1_b", "ln2_s", "ln2_b", "ln3_s", "ln3_b",
+    "ln4_s", "ln4_b", "lno_s", "lno_b",
+)
+
+
+def conformer_encoder_step(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+    dims: ConformerDims,
+):
+    """Engine-contract step: x [S, seg, mel] window -> (eout [S, J], h', c')."""
+    y = conv_subsample(params, x)[:, 0, :]  # [S, d]
+
+    def layer(y, scan_in):
+        p_l, h_l, c_l = scan_in
+        y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims)
+        return y, (h_l, c_l)
+
+    stacked = {k: params[k] for k in _STACKED}
+    y, (h_new, c_new) = jax.lax.scan(layer, y, (stacked, h, c))
+    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
+    return eout, h_new, c_new
+
+
+# ---------------------------------------------------------------------------
+# full-sequence form (training / offline / parity oracle)
+# ---------------------------------------------------------------------------
+
+
+def conformer_encoder_seq(
+    params: Params, mel: jnp.ndarray, dims: ConformerDims
+) -> jnp.ndarray:
+    """[S, T, mel] -> [S, W, joiner_dim]: the streaming semantics computed
+    full-sequence — causal attention limited to the last `att_context`
+    frames (incl. current), causal depthwise conv. Differentiable; used by
+    the RNN-T training step and as the streaming-parity oracle."""
+    seg, step = dims.segment_size, dims.segment_step
+    S, T = mel.shape[0], mel.shape[1]
+    W = (T - seg) // step + 1
+    starts = jnp.arange(W) * step
+    windows = jax.vmap(
+        lambda s: jax.lax.dynamic_slice_in_dim(mel, s, seg, axis=1), out_axes=1
+    )(starts)  # [S, W, seg, mel]
+    flat = windows.reshape(S * W, seg, dims.mel)
+    y = conv_subsample(params, flat)[:, 0, :].reshape(S, W, dims.d_model)
+
+    H, dk, C, k = dims.heads, dims.head_dim, dims.att_context, dims.conv_kernel
+    d = dims.d_model
+    t_i = jnp.arange(W)
+    dist = t_i[:, None] - t_i[None, :]  # [W, W] (query - key)
+    causal = (dist >= 0) & (dist < C)
+
+    stacked = {kk: params[kk] for kk in _STACKED}
+
+    def layer(y, p_l):
+        x = y
+        x = x + 0.5 * _ff(
+            _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]),
+            p_l["ff1_a"], p_l["ff1_ab"], p_l["ff1_o"], p_l["ff1_ob"],
+        )
+        u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
+        q = (_mm(u, p_l["att_q"]) + p_l["att_qb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        kk = (_mm(u, p_l["att_k"]) + p_l["att_kb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        vv = (_mm(u, p_l["att_v"]) + p_l["att_vb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        scores = jnp.einsum(
+            "sqhd,skhd->shqk", q, kk, preferred_element_type=jnp.float32
+        ) * (dk ** -0.5)
+        bias = p_l["rel_bias"].astype(jnp.float32)[:, jnp.clip(dist, 0, C - 1)]
+        scores = scores + bias[None]
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+        wgt = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum(
+            "shqk,skhd->sqhd", wgt, vv, preferred_element_type=jnp.float32
+        ).reshape(S, W, d)
+        x = x + _mm(att, p_l["att_o"]) + p_l["att_ob"].astype(jnp.float32)
+
+        u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
+        g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)
+        g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, W, d]
+        padded = jnp.pad(g, ((0, 0), (k - 1, 0), (0, 0)))
+        dw = sum(
+            padded[:, i : i + W] * p_l["cv_dw"].astype(jnp.float32)[i]
+            for i in range(k)
+        ) + p_l["cv_dwb"].astype(jnp.float32)
+        x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
+
+        x = x + 0.5 * _ff(
+            _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
+            p_l["ff2_a"], p_l["ff2_ab"], p_l["ff2_o"], p_l["ff2_ob"],
+        )
+        return _layer_norm(x, p_l["lno_s"], p_l["lno_b"]), None
+
+    # layers consume the previous layer's full sequence: a python loop over
+    # per-layer slices (L is small and static)
+    L = dims.layers
+    for l in range(L):
+        p_l = {kk: stacked[kk][l] for kk in _STACKED}
+        y, _ = layer(y, p_l)
+    return _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)

@@ -70,11 +70,19 @@ def save_april(
     np_params = {
         k: np.asarray(v) for k, v in params.items() if k not in DERIVED_KEYS
     }
+    from .conformer import ConformerDims
+
+    arch = "conformer" if isinstance(dims, ConformerDims) else "lstm"
     if form == "onnx":
+        if arch != "lstm":
+            raise ValueError(
+                "onnx form is reference-compatible and supports only the "
+                "LSTM transducer; use form='native' for conformer models"
+            )
         networks = list(build_transducer_graphs(dims, np_params))
         model_type = MODEL_LSTM_TRANSDUCER_STATELESS
     elif form == "native":
-        meta = {"dims": dataclasses.asdict(dims)}
+        meta = {"dims": dataclasses.asdict(dims), "arch": arch}
         networks = [save_safetensors_bytes(np_params, metadata=meta)]
         model_type = MODEL_NATIVE_TRANSDUCER_TPU
     else:

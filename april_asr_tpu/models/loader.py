@@ -321,15 +321,20 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
 
 
 def _load_native_container(container: AprilContainer) -> ModelRuntime:
-    """Native checkpoint form: single safetensors network blob."""
+    """Native checkpoint form: single safetensors network blob. The `arch`
+    metadata selects the model family (lstm | conformer)."""
     from ..io.safetensors import load_safetensors_bytes
 
     p = container.params
     tensors, meta = load_safetensors_bytes(container.networks[0])
-    dims = TransducerDims(**{
+    arch = meta.get("arch", "lstm")
+    dims_kw = {
         k: (tuple(v) if k == "conv_channels" else v)
         for k, v in meta["dims"].items()
-    })
+    }
+    if arch == "conformer":
+        return _conformer_runtime(container, p, tensors, dims_kw)
+    dims = TransducerDims(**dims_kw)
     weights = precompute_decoder_tables(
         {k: jnp.asarray(v) for k, v in tensors.items()}, dims
     )
@@ -351,4 +356,31 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
         encoder_embed=embed,
         encoder_recurrent=recur,
+    )
+
+
+def _conformer_runtime(container, p, tensors, dims_kw) -> ModelRuntime:
+    """Runtime for the streaming Conformer family (models/conformer.py):
+    same 3-function engine contract, attention/conv state packed into the
+    h/c arrays per ConformerDims.state_shapes."""
+    from .conformer import ConformerDims, conformer_encoder_step
+
+    dims = ConformerDims(**dims_kw)
+    weights = precompute_decoder_tables(
+        {k: jnp.asarray(v) for k, v in tensors.items()}, dims
+    )
+    return ModelRuntime(
+        name=container.name,
+        description=container.description,
+        language=container.language,
+        params=p,
+        fbank_opts=_fbank_opts_from_params(p),
+        vocab=build_vocab_tables(p),
+        dims=dims,
+        kind="native",
+        weights=weights,
+        encoder_step=lambda w, x, h, c: conformer_encoder_step(w, x, h, c, dims),
+        decoder_step=lambda w, ctx: decoder_step(w, ctx, dims),
+        joiner=joiner_logits,
+        state_shapes=dims.state_shapes,
     )

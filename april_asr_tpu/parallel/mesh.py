@@ -59,6 +59,22 @@ _PARAM_SPECS: Dict[str, P] = {
     "dec_proj_b": P(),
     "join_t": P(None, "model"),
     "join_b": P("model"),
+    # conformer family (models/conformer.py): shard attention projections on
+    # the head/output dim and FFN on the hidden dim; the small conv module,
+    # layernorms, and relative bias stay replicated
+    "att_q": P(None, None, "model"),
+    "att_k": P(None, None, "model"),
+    "att_v": P(None, None, "model"),
+    "att_qb": P(None, "model"),
+    "att_kb": P(None, "model"),
+    "att_vb": P(None, "model"),
+    "att_o": P(None, "model", None),
+    "ff1_a": P(None, None, "model"),
+    "ff1_ab": P(None, "model"),
+    "ff1_o": P(None, "model", None),
+    "ff2_a": P(None, None, "model"),
+    "ff2_ab": P(None, "model"),
+    "ff2_o": P(None, "model", None),
 }
 
 

@@ -47,15 +47,22 @@ def transducer_loss_fn(
            label_lens [B].
     """
 
+    from ..models.conformer import ConformerDims, conformer_encoder_seq
+
+    is_conformer = isinstance(dims, ConformerDims)
+
     def loss(params, batch):
         mel = batch["mel"]
         labels = batch["labels"]
         B = mel.shape[0]
-        h0, c0 = init_streaming_state(dims, B)
         # Pure-XLA encoder: the fused inference kernel has no VJP, and the
         # train step is GSPMD-partitioned (tensor-parallel weights).
-        with pallas_disabled():
-            f, _, _ = encoder_seq(params, mel, h0, c0, dims)  # [B, W, J]
+        if is_conformer:
+            f = conformer_encoder_seq(params, mel, dims)  # [B, W, J]
+        else:
+            h0, c0 = init_streaming_state(dims, B)
+            with pallas_disabled():
+                f, _, _ = encoder_seq(params, mel, h0, c0, dims)  # [B, W, J]
 
         ctxs = label_contexts(labels, blank_id, dims.context)  # [B, U+1, ctx]
         U1 = ctxs.shape[1]

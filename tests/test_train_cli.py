@@ -139,3 +139,42 @@ def test_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.params["join_t"]), np.asarray(b.params["join_t"]), atol=1e-6
     )
+
+
+def test_train_cli_conformer(tmp_path, capsys):
+    """Conformer family trains through the same CLI and serves the export."""
+    from april_asr_tpu.cli.train import main
+
+    manifest = _write_corpus(tmp_path, n=4)
+    april = tmp_path / "conf_trained.april"
+    rc = main([
+        "--manifest", str(manifest), "--out-dir", str(tmp_path / "exp_conf"),
+        "--preset", "tiny", "--arch", "conformer", "--steps", "12",
+        "--batch", "4", "--lr", "3e-3", "--warmup-steps", "4",
+        "--ckpt-every", "0", "--export", str(april),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    losses = [
+        float(line.split("loss ")[1].split(" ")[0])
+        for line in out.splitlines()
+        if line.startswith("step ")
+    ]
+    assert losses[-1] < losses[0] * 1.5  # training runs and is stable
+
+    from april_asr_tpu.api import Model
+
+    m = Model(str(april))
+    assert type(m.runtime.dims).__name__ == "ConformerDims"
+
+
+def test_train_cli_empty_manifest(tmp_path):
+    from april_asr_tpu.cli.train import main
+
+    manifest = tmp_path / "empty.tsv"
+    manifest.write_text("")
+    rc = main([
+        "--manifest", str(manifest), "--out-dir", str(tmp_path / "exp"),
+        "--preset", "tiny", "--steps", "5",
+    ])
+    assert rc == 1

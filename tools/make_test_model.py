@@ -19,11 +19,39 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("output")
     ap.add_argument("--flagship", action="store_true", help="full-size model via native exporter")
+    ap.add_argument(
+        "--arch", choices=["lstm", "conformer"], default="lstm",
+        help="model family (conformer implies --form native)",
+    )
     ap.add_argument("--form", choices=["onnx", "native"], default="onnx")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
-    if args.flagship:
+    if args.arch == "conformer":
+        import jax
+
+        from april_asr_tpu.models.conformer import ConformerDims, init_conformer_params
+        from april_asr_tpu.models.export import make_model_parameters, save_april
+        from april_asr_tpu.testing import default_tokens
+
+        dims = (
+            ConformerDims()
+            if args.flagship
+            else ConformerDims(
+                d_model=64, heads=2, ffn=128, conv_kernel=4, att_context=16,
+                joiner_dim=64, vocab=64, layers=2, decoder_groups=16,
+                conv_channels=(4, 8, 8),
+            )
+        )
+        params = init_conformer_params(jax.random.PRNGKey(args.seed), dims)
+        mp = make_model_parameters(dims, default_tokens(dims.vocab))
+        save_april(
+            args.output, dims, params, mp,
+            name="Conformer Random",
+            description=f"Random streaming conformer (seed={args.seed})",
+            form="native",
+        )
+    elif args.flagship:
         import jax
 
         from april_asr_tpu.models import TransducerDims, init_transducer_params
