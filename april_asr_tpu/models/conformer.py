@@ -187,8 +187,13 @@ def _pack(kc, vc, conv, pos):
     )
 
 
-def _block_step(p_l, x, h_l, c_l, dims: ConformerDims):
-    """One Conformer block on one frame x [S, d]; returns (y, h_l', c_l')."""
+def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
+    """One Conformer block on one frame x [S, d]; returns (y, h_l', c_l').
+
+    `gate` (optional [S] bool) keeps the carried KV-ring/conv/position state
+    for masked sessions — the engine's per-pull participation mask, folded
+    into the block body (same contract as the LSTM layer gate,
+    lstm_transducer._lstm_stack_step)."""
     S, d = x.shape
     H, dk, C, k = dims.heads, dims.head_dim, dims.att_context, dims.conv_kernel
     kc, vc, conv_st, pos = _unpack(h_l, c_l, dims)
@@ -207,6 +212,8 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims):
     # write current frame into ring slot pos % C (one-hot select: no scatter)
     slot = ipos % C
     onehot = (jnp.arange(C)[None, :] == slot[:, None])[..., None]  # [S, C, 1]
+    if gate is not None:
+        onehot = onehot & gate[:, None, None]
     kc = jnp.where(onehot, kn[:, None, :], kc)
     vc = jnp.where(onehot, vn[:, None, :], vc)
     # slot j holds the latest frame ≡ j (mod C): distance = (slot - j) mod C
@@ -235,7 +242,12 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims):
         preferred_element_type=jnp.float32,
     ) + p_l["cv_dwb"].astype(jnp.float32)
     x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
-    conv_st = window[:, 1:, :]
+    if gate is None:
+        conv_st = window[:, 1:, :]
+        pos = pos + 1.0
+    else:
+        conv_st = jnp.where(gate[:, None, None], window[:, 1:, :], conv_st)
+        pos = pos + gate.astype(pos.dtype)
 
     x = x + 0.5 * _ff(
         _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
@@ -243,7 +255,7 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims):
     )
     y = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
 
-    h_l, c_l = _pack(kc, vc, conv_st, pos + 1.0)
+    h_l, c_l = _pack(kc, vc, conv_st, pos)
     return y, h_l, c_l
 
 
@@ -258,22 +270,42 @@ _STACKED = (
 )
 
 
-def conformer_encoder_step(
-    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-    dims: ConformerDims,
+def conformer_encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Stateless front half: [N, segment, mel] -> [N, d_model]. Same conv
+    subsampling as the LSTM path; split out so the engine batches it over
+    all of a step's windows in one conv launch."""
+    return conv_subsample(params, x)[:, 0, :]
+
+
+def conformer_encoder_recurrent(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+    dims: ConformerDims, gate=None,
 ):
-    """Engine-contract step: x [S, seg, mel] window -> (eout [S, J], h', c')."""
-    y = conv_subsample(params, x)[:, 0, :]  # [S, d]
+    """Stateful back half: embedded [S, d] -> (eout [S, J], h', c').
+
+    `gate` ([S] bool, optional): masked sessions keep their carried
+    ring-cache / conv / position state (eout for those sessions is still
+    produced; the decode step masks it)."""
 
     def layer(y, scan_in):
         p_l, h_l, c_l = scan_in
-        y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims)
+        y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims, gate)
         return y, (h_l, c_l)
 
     stacked = {k: params[k] for k in _STACKED}
     y, (h_new, c_new) = jax.lax.scan(layer, y, (stacked, h, c))
     eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new
+
+
+def conformer_encoder_step(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
+    dims: ConformerDims,
+):
+    """Engine-contract step: x [S, seg, mel] window -> (eout [S, J], h', c')."""
+    return conformer_encoder_recurrent(
+        params, conformer_encoder_embed(params, x), h, c, dims
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -363,7 +363,12 @@ def _conformer_runtime(container, p, tensors, dims_kw) -> ModelRuntime:
     """Runtime for the streaming Conformer family (models/conformer.py):
     same 3-function engine contract, attention/conv state packed into the
     h/c arrays per ConformerDims.state_shapes."""
-    from .conformer import ConformerDims, conformer_encoder_step
+    from .conformer import (
+        ConformerDims,
+        conformer_encoder_embed,
+        conformer_encoder_recurrent,
+        conformer_encoder_step,
+    )
 
     dims = ConformerDims(**dims_kw)
     weights = precompute_decoder_tables(
@@ -383,4 +388,8 @@ def _conformer_runtime(container, p, tensors, dims_kw) -> ModelRuntime:
         decoder_step=lambda w, ctx: decoder_step(w, ctx, dims),
         joiner=joiner_logits,
         state_shapes=dims.state_shapes,
+        encoder_embed=conformer_encoder_embed,
+        encoder_recurrent=lambda w, y, h, c, gate=None: conformer_encoder_recurrent(
+            w, y, h, c, dims, gate
+        ),
     )

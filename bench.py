@@ -22,9 +22,11 @@ import time
 import numpy as np
 
 
-def build_runtime(bias_blank: float = 2.0):
+def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     """Flagship random-weight runtime with a realistic emission rate (blank
-    logit biased up so emissions are sparse like real speech)."""
+    logit biased up so emissions are sparse like real speech). `arch`
+    selects the model family: the reference-dim LSTM transducer (default)
+    or the streaming Conformer (APRIL_BENCH_ARCH=conformer)."""
     import jax
 
     from april_asr_tpu.api.model import _enable_compile_cache
@@ -48,13 +50,43 @@ def build_runtime(bias_blank: float = 2.0):
         precompute_decoder_tables,
     )
 
-    dims = TransducerDims()
-    params = init_transducer_params(jax.random.PRNGKey(0), dims)
+    if arch == "conformer":
+        from april_asr_tpu.models.conformer import (
+            ConformerDims,
+            conformer_encoder_embed,
+            conformer_encoder_recurrent,
+            conformer_encoder_step,
+            init_conformer_params,
+        )
+        from april_asr_tpu.models.lstm_transducer import decoder_step, joiner_logits
+
+        dims = ConformerDims()
+        params = init_conformer_params(jax.random.PRNGKey(0), dims)
+    else:
+        dims = TransducerDims()
+        params = init_transducer_params(jax.random.PRNGKey(0), dims)
     params["join_b"] = params["join_b"].at[0].add(bias_blank)
     params = precompute_decoder_tables(params, dims)
     if os.environ.get("APRIL_BENCH_PRECISION", "bf16") == "bf16":
         params = cast_weights(params, jnp.bfloat16)
     mp = make_model_parameters(dims, default_tokens(dims.vocab))
+
+    if arch == "conformer":
+        return ModelRuntime(
+            name="conformer-bench", description="", language="en-us",
+            params=mp, fbank_opts=_fbank_opts_from_params(mp),
+            vocab=build_vocab_tables(mp), dims=dims, kind="native",
+            weights=params,
+            encoder_step=lambda w, x, h, c: conformer_encoder_step(w, x, h, c, dims),
+            decoder_step=lambda w, ctx: decoder_step(w, ctx, dims),
+            joiner=joiner_logits,
+            state_shapes=dims.state_shapes,
+            encoder_embed=conformer_encoder_embed,
+            encoder_recurrent=lambda w, y, h, c, gate=None: conformer_encoder_recurrent(
+                w, y, h, c, dims, gate
+            ),
+        )
+
     from april_asr_tpu.models.loader import _native_split_fns
 
     enc, dec, joi = _native_runtime_fns(dims)
@@ -164,7 +196,8 @@ def main():
             for x in os.environ["APRIL_BENCH_BATCHES"].split(",")
         ]
     steps = int(os.environ.get("APRIL_BENCH_STEPS", "20"))
-    rt = build_runtime()
+    arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
+    rt = build_runtime(arch=arch)
 
     best = (0.0, 0, 0.0, 0.0)
     for S, chunk_s in configs:
@@ -189,7 +222,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"audio_seconds_per_second_per_chip (flagship LSTM transducer, {S} concurrent streaming sessions, lag-1 pipelined dispatch incl. host event replay; {step_ms:.0f} ms per {chunk_s:.1f} s chunk)",
+                "metric": f"audio_seconds_per_second_per_chip (flagship {'streaming Conformer' if arch == 'conformer' else 'LSTM'} transducer, {S} concurrent streaming sessions, lag-1 pipelined dispatch incl. host event replay; {step_ms:.0f} ms per {chunk_s:.1f} s chunk)",
                 "value": round(thr, 1),
                 "unit": "audio-s/s",
                 "vs_baseline": round(thr / 1.0, 1),

@@ -71,6 +71,38 @@ def test_zero_state_is_fresh_session(params):
     assert float(c1[0, 0, -1]) == 1.0
 
 
+def test_gated_recurrent_matches_step(params):
+    """The engine fast path (batched embed + gated recurrent) must equal the
+    plain step path where gate=True and keep state bit-identical where
+    gate=False."""
+    from april_asr_tpu.models.conformer import (
+        conformer_encoder_embed,
+        conformer_encoder_recurrent,
+    )
+
+    S = 6
+    rng = np.random.default_rng(4)
+    win = jnp.asarray(
+        rng.normal(0, 0.5, (S, DIMS.segment_size, DIMS.mel)).astype(np.float32)
+    )
+    (L, hw), (_, cw) = DIMS.state_shapes
+    h = jnp.asarray(rng.normal(0, 0.1, (L, S, hw)).astype(np.float32))
+    c = jnp.abs(jnp.asarray(rng.normal(0, 0.1, (L, S, cw)).astype(np.float32)))
+    gate = jnp.asarray([True, False, True, True, False, True])
+
+    ref_e, ref_h, ref_c = conformer_encoder_step(params, win, h, c, DIMS)
+    y = conformer_encoder_embed(params, win)
+    got_e, got_h, got_c = conformer_encoder_recurrent(params, y, h, c, DIMS, gate)
+
+    g = np.asarray(gate)
+    np.testing.assert_array_equal(np.asarray(got_e)[g], np.asarray(ref_e)[g])
+    np.testing.assert_array_equal(np.asarray(got_h)[:, g], np.asarray(ref_h)[:, g])
+    np.testing.assert_array_equal(np.asarray(got_c)[:, g], np.asarray(ref_c)[:, g])
+    # masked sessions: carried state untouched
+    np.testing.assert_array_equal(np.asarray(got_h)[:, ~g], np.asarray(h)[:, ~g])
+    np.testing.assert_array_equal(np.asarray(got_c)[:, ~g], np.asarray(c)[:, ~g])
+
+
 def test_conformer_runtime_in_engine(params):
     """The Conformer plugs into the batched engine via the standard
     3-function runtime contract; a full feed/tick/flush cycle runs and
