@@ -227,20 +227,43 @@ def build_engine(
                 weights, windows.reshape(P * S, seg, windows.shape[-1])
             ).reshape(P, S, -1)
 
-            def scan_body(carry, xs):
-                h, c, dstate = carry
-                y0_i, can_i = xs
-                dstate = dict(dstate)
-                dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
-                # the pull mask gates the h/c update inside the encoder
-                # (no separate [L, S, .] select pass over the state arrays)
-                eout, h, c = rt.encoder_recurrent(weights, y0_i, h, c, can_i)
-                dstate, events = inner_decode(weights, eout, can_i, dstate)
-                return (h, c, dstate), events
-
-            (h, c, dstate), events = jax.lax.scan(
-                scan_body, (h, c, dstate), (y0, can)
+            use_chunk = rt.encoder_chunk is not None and (
+                rt.encoder_chunk_max_pulls is None or P <= rt.encoder_chunk_max_pulls
             )
+            if use_chunk:
+                # non-frame-recurrent encoder (Conformer family): every pull
+                # advances through each layer in ONE pass — one KV-ring
+                # read/write per layer per step instead of per pull — and the
+                # per-pull scan carries only the decode state
+                eouts, h, c = rt.encoder_chunk(weights, y0, h, c, can)
+
+                def scan_body(dstate, xs):
+                    eout_i, can_i = xs
+                    dstate = dict(dstate)
+                    dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(
+                        jnp.int32
+                    )
+                    dstate, events = inner_decode(weights, eout_i, can_i, dstate)
+                    return dstate, events
+
+                dstate, events = jax.lax.scan(scan_body, dstate, (eouts, can))
+            else:
+                def scan_body(carry, xs):
+                    h, c, dstate = carry
+                    y0_i, can_i = xs
+                    dstate = dict(dstate)
+                    dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(
+                        jnp.int32
+                    )
+                    # the pull mask gates the h/c update inside the encoder
+                    # (no separate [L, S, .] select pass over the state arrays)
+                    eout, h, c = rt.encoder_recurrent(weights, y0_i, h, c, can_i)
+                    dstate, events = inner_decode(weights, eout, can_i, dstate)
+                    return (h, c, dstate), events
+
+                (h, c, dstate), events = jax.lax.scan(
+                    scan_body, (h, c, dstate), (y0, can)
+                )
             n_pulled = jnp.clip(
                 (fb["fifo_len"] - seg) // step_rows + 1, 0, P
             )

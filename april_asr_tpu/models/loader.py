@@ -75,6 +75,12 @@ class ModelRuntime:
     # batched over all windows; recurrent(w, y[S,d], h, c) -> (eout, h', c').
     encoder_embed: Optional[Callable] = None
     encoder_recurrent: Optional[Callable] = None
+    # Optional whole-chunk encoder (non-frame-recurrent families, e.g. the
+    # Conformer): chunk(w, y[P,S,d], h, c, can[P,S]) -> (eout[P,S,J], h', c')
+    # advances all P pulls per layer in one pass. Used by the engine when
+    # P <= encoder_chunk_max_pulls.
+    encoder_chunk: Optional[Callable] = None
+    encoder_chunk_max_pulls: Optional[int] = None
 
     @property
     def sample_rate(self) -> int:
@@ -365,6 +371,7 @@ def _conformer_runtime(container, p, tensors, dims_kw) -> ModelRuntime:
     h/c arrays per ConformerDims.state_shapes."""
     from .conformer import (
         ConformerDims,
+        conformer_encoder_chunk,
         conformer_encoder_embed,
         conformer_encoder_recurrent,
         conformer_encoder_step,
@@ -392,4 +399,8 @@ def _conformer_runtime(container, p, tensors, dims_kw) -> ModelRuntime:
         encoder_recurrent=lambda w, y, h, c, gate=None: conformer_encoder_recurrent(
             w, y, h, c, dims, gate
         ),
+        encoder_chunk=lambda w, y, h, c, can: conformer_encoder_chunk(
+            w, y, h, c, dims, can
+        ),
+        encoder_chunk_max_pulls=dims.att_context,
     )

@@ -53,6 +53,7 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     if arch == "conformer":
         from april_asr_tpu.models.conformer import (
             ConformerDims,
+            conformer_encoder_chunk,
             conformer_encoder_embed,
             conformer_encoder_recurrent,
             conformer_encoder_step,
@@ -85,6 +86,10 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
             encoder_recurrent=lambda w, y, h, c, gate=None: conformer_encoder_recurrent(
                 w, y, h, c, dims, gate
             ),
+            encoder_chunk=lambda w, y, h, c, can: conformer_encoder_chunk(
+                w, y, h, c, dims, can
+            ),
+            encoder_chunk_max_pulls=dims.att_context,
         )
 
     from april_asr_tpu.models.loader import _native_split_fns

@@ -103,6 +103,45 @@ def test_gated_recurrent_matches_step(params):
     np.testing.assert_array_equal(np.asarray(got_c)[:, ~g], np.asarray(c)[:, ~g])
 
 
+def test_chunk_matches_per_frame(params):
+    """The whole-chunk encoder (one ring pass per layer per chunk) must match
+    the per-frame path on valid pulls and carry identical state — across
+    ragged prefix masks, idle sessions, and ring wraparound."""
+    from april_asr_tpu.models.conformer import (
+        conformer_encoder_chunk,
+        conformer_encoder_recurrent,
+    )
+
+    S, P = 4, 3  # P <= att_context=5
+    rng = np.random.default_rng(7)
+    (L, hw), (_, cw) = DIMS.state_shapes
+    h_a = h_b = jnp.zeros((L, S, hw), jnp.float32)
+    c_a = c_b = jnp.zeros((L, S, cw), jnp.float32)
+    chunk = jax.jit(
+        lambda p, y, h, c, can: conformer_encoder_chunk(p, y, h, c, DIMS, can)
+    )
+    frame = jax.jit(
+        lambda p, y, h, c, g: conformer_encoder_recurrent(p, y, h, c, DIMS, g)
+    )
+    # per-(chunk, session) valid-pull counts; totals cross C=5 (wraparound)
+    counts = np.array([[3, 2, 0, 3], [3, 3, 1, 2], [3, 0, 3, 3], [2, 3, 3, 1]])
+    for r in range(4):
+        y = jnp.asarray(rng.normal(0, 0.5, (P, S, DIMS.d_model)).astype(np.float32))
+        can = jnp.asarray(np.arange(P)[:, None] < counts[r][None, :])
+        e_chunk, h_a, c_a = chunk(params, y, h_a, c_a, can)
+        es = []
+        for j in range(P):
+            e_j, h_b, c_b = frame(params, y[j], h_b, c_b, can[j])
+            es.append(e_j)
+        e_frame = jnp.stack(es)
+        m = np.asarray(can)
+        np.testing.assert_allclose(
+            np.asarray(e_chunk)[m], np.asarray(e_frame)[m], atol=2e-4
+        )
+        np.testing.assert_allclose(np.asarray(h_a), np.asarray(h_b), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(c_a), np.asarray(c_b), atol=2e-4)
+
+
 def test_conformer_runtime_in_engine(params):
     """The Conformer plugs into the batched engine via the standard
     3-function runtime contract; a full feed/tick/flush cycle runs and
