@@ -3,6 +3,7 @@ from .lstm_transducer import (
     TransducerDims,
     conv_subsample,
     decoder_step,
+    encoder_chunk,
     encoder_seq,
     encoder_step,
     init_streaming_state,
@@ -18,6 +19,7 @@ __all__ = [
     "init_streaming_state",
     "encoder_step",
     "encoder_seq",
+    "encoder_chunk",
     "decoder_step",
     "joiner_logits",
     "conv_subsample",

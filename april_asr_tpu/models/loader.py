@@ -157,11 +157,12 @@ def _native_runtime_fns(dims: TransducerDims):
 
 
 def _native_split_fns():
-    """Optional split-encoder pair for the engine's batched-window fast path
-    (embed over all windows at once; recurrent inside the scan)."""
-    from .lstm_transducer import encoder_embed, encoder_recurrent
+    """Optional split-encoder trio for the engine's batched-window fast paths
+    (embed over all windows at once; recurrent inside the scan; layer-major
+    whole-chunk form for the hot path)."""
+    from .lstm_transducer import encoder_chunk, encoder_embed, encoder_recurrent
 
-    return encoder_embed, encoder_recurrent
+    return encoder_embed, encoder_recurrent, encoder_chunk
 
 
 def _verify_native(dims, native_w, interp_fns, seed=0, atol=2e-4) -> Optional[str]:
@@ -304,9 +305,9 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         (dims.layers, dims.hidden),
     )
 
-    embed = recur = None
+    embed = recur = chunk = None
     if kind == "native":
-        embed, recur = _native_split_fns()
+        embed, recur, chunk = _native_split_fns()
     return ModelRuntime(
         name=container.name,
         description=container.description,
@@ -323,6 +324,7 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         state_shapes=state_shapes,
         encoder_embed=embed,
         encoder_recurrent=recur,
+        encoder_chunk=chunk,
     )
 
 
@@ -345,7 +347,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         {k: jnp.asarray(v) for k, v in tensors.items()}, dims
     )
     enc, dec, joi = _native_runtime_fns(dims)
-    embed, recur = _native_split_fns()
+    embed, recur, chunk = _native_split_fns()
     return ModelRuntime(
         name=container.name,
         description=container.description,
@@ -362,6 +364,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
         encoder_embed=embed,
         encoder_recurrent=recur,
+        encoder_chunk=chunk,
     )
 
 

@@ -275,6 +275,145 @@ def _lstm_stack_step(
     return y, h_new, c_new
 
 
+def _lstm_stack_chunk(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Layer-major whole-chunk stack: P timesteps through all L layers.
+
+    y: [P, S, d]; h: [L, S, d]; c: [L, S, hidden]; gate: optional [P, S]
+    bool — masked (pull, session) cells keep their carried h/c and their y
+    output is garbage the caller must mask (the decode step does). The gate
+    MUST be a per-session prefix over P (once false, stays false), which the
+    engine's fifo_len construction guarantees — this keeps masked-step
+    garbage from feeding any live step.
+
+    This is the MXU-friendly form of the encoder hot loop: for each layer,
+    the input-side gate matmul [P*S, d] x [d, 4*hidden] and the whole FFN run
+    batched over all P pulls (62%% of the layer FLOPs at reference dims), and
+    only the recurrent half — h @ w_hh, the cell, and the [hidden, d]
+    projection — stays inside the sequential time scan. Equivalent to
+    scanning `_lstm_stack_step` over P (parity-tested in
+    tests/test_native_model.py) but ~40%% faster end-to-end on v5e because
+    the big matmuls amortize weight fetches and launch overheads P-fold.
+    """
+    P, S, d = y.shape
+
+    if _pallas_wanted():
+        from ..ops.lstm_pallas import (
+            CHUNK_MAX_PULLS,
+            CHUNK_MIN_PULLS,
+            lstm_layer_chunk_fused,
+            supported_dims,
+        )
+
+        hidden = c.shape[2]
+        ffn = params["ff1_t"].shape[2]
+        # small session tiles: the x/y blocks are P timesteps deep, so the
+        # VMEM budget scales with P * block_s (vs block_s for the step kernel)
+        block_s = next((b for b in (128, 256) if S % b == 0), 0)
+        if (
+            CHUNK_MIN_PULLS <= P <= CHUNK_MAX_PULLS
+            and block_s
+            and supported_dims(S, d, hidden, ffn, block_s)
+        ):
+            return _lstm_stack_chunk_pallas(params, y, h, c, gate, block_s)
+
+    def layer(x, scan_in):
+        (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
+        # batched input-side gates for all P pulls (bias folded in here; the
+        # recurrent term is added per step)
+        gx = (
+            _mm(x.reshape(P * S, d), w_ih_t) + bias.astype(jnp.float32)
+        ).reshape(P, S, -1)
+
+        def tstep(carry, xs):
+            h_t, c_t = carry
+            gx_t = xs[0]
+            gates = gx_t + _mm(h_t, w_hh_t)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            # cell state stays f32 (streaming error must not compound)
+            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            h_new = _mm(hc, w_hr_t)
+            if gate is not None:
+                m = xs[1][:, None]
+                h_keep = jnp.where(m, h_new, h_t)
+                c_keep = jnp.where(m, c_new, c_t)
+            else:
+                h_keep, c_keep = h_new, c_new
+            return (h_keep, c_keep), h_new
+
+        xs = (gx,) if gate is None else (gx, gate)
+        (h_fin, c_fin), h_seq = jax.lax.scan(tstep, (h_l, c_l), xs)
+        yr = x + h_seq  # residual LSTM, batched over P
+        ff = _mm(_double_swish(_mm(yr, ff1_t) + ff1_b.astype(jnp.float32)), ff2_t) + ff2_b.astype(jnp.float32)
+        yn = _basic_norm(yr + ff, eps.astype(jnp.float32))
+        return yn, (h_fin, c_fin)
+
+    scan_ins = (
+        params["w_ih_t"],
+        params["w_hh_t"],
+        params["bias"],
+        params["w_hr_t"],
+        params["ff1_t"],
+        params["ff1_b"],
+        params["ff2_t"],
+        params["ff2_b"],
+        params["norm_eps"],
+        h,
+        c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, y, scan_ins)
+    return y, h_new, c_new
+
+
+def _lstm_stack_chunk_pallas(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate, block_s: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Layers unrolled in Python (NOT lax.scan): scanning makes every layer's
+    weights a dynamic-slice of the stacked [L, ...] arrays, and XLA fuses
+    those slices into the pallas custom-call's operands on scoped VMEM —
+    which OOMs its 16 MB stack at serving shapes. Static per-layer slices
+    stay plain HBM tensors. 12 unrolled pallas calls also compile fine."""
+    from ..ops.lstm_pallas import lstm_layer_chunk_fused
+
+    interpret = jax.default_backend() != "tpu"
+    n_pulls = None if gate is None else jnp.sum(gate.astype(jnp.int32), axis=0)
+
+    L = params["w_ih_t"].shape[0]
+    hs, cs = [], []
+    for l in range(L):
+        y, h_new, c_new = lstm_layer_chunk_fused(
+            y, h[l], c[l],
+            params["w_ih_t"][l], params["w_hh_t"][l], params["bias"][l],
+            params["w_hr_t"][l], params["ff1_t"][l], params["ff1_b"][l],
+            params["ff2_t"][l], params["ff2_b"][l], params["norm_eps"][l],
+            n_pulls,
+            block_s=block_s, interpret=interpret,
+        )
+        # keep XLA from fusing the inter-layer stack/concat into the pallas
+        # custom call — that fusion allocates the kernel outputs on the
+        # 16 MB scoped-vmem stack and OOMs at serving shapes
+        y, h_new, c_new = jax.lax.optimization_barrier((y, h_new, c_new))
+        hs.append(h_new)
+        cs.append(c_new)
+    return y, jnp.stack(hs), jnp.stack(cs)
+
+
+def encoder_chunk(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, can=None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Whole-chunk streaming encoder (engine fast path, layer-major).
+
+    y: [P, S, d] embedded pulls; can: optional [P, S] per-session prefix
+    participation mask. Returns (eout [P, S, J], h', c'); masked pulls
+    produce garbage eout rows the decode step masks off. Batched equivalent
+    of P consecutive reference encoder Runs (src/april_session.c:131-148)."""
+    y, h_new, c_new = _lstm_stack_chunk(params, y, h, c, can)
+    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
+    return eout, h_new, c_new
+
+
 def encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     """Stateless front half of the encoder: [N, segment, mel] -> [N, d_model].
 
@@ -325,12 +464,8 @@ def encoder_seq(
     flat = windows.reshape(S * W, seg, mel.shape[-1])
     sub = conv_subsample(params, flat)[:, 0, :].reshape(S, W, -1)  # [S, W, d]
 
-    def step_fn(carry, x_t):
-        h, c = carry
-        y, h2, c2 = _lstm_stack_step(params, x_t, h, c)
-        return (h2, c2), y
-
-    (h_new, c_new), ys = jax.lax.scan(step_fn, (h, c), jnp.swapaxes(sub, 0, 1))
+    # layer-major: input matmuls + FFN batch over all W timesteps
+    ys, h_new, c_new = _lstm_stack_chunk(params, jnp.swapaxes(sub, 0, 1), h, c)
     ys = jnp.swapaxes(ys, 0, 1)  # [S, W, d]
     eout = _mm(ys, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new

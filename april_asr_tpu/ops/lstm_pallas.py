@@ -106,6 +106,198 @@ def _layer_kernel(
         c2_ref[:] = c_new
 
 
+def _chunk_kernel(
+    P,
+    gated,
+    x_ref,
+    h_ref,
+    c_ref,
+    n_ref,
+    wih_ref,
+    whh_ref,
+    b_ref,
+    whr_ref,
+    ff1_ref,
+    f1b_ref,
+    ff2_ref,
+    f2b_ref,
+    eps_ref,
+    y_ref,
+    h2_ref,
+    c2_ref,
+):
+    """Whole-chunk layer: P timesteps over one session tile, weights and the
+    running h/c resident in VMEM for the whole chunk. The output refs double
+    as the loop carry (reading back an output ref is a VMEM read)."""
+    wd = wih_ref.dtype
+    H = c_ref.shape[1]
+    h2_ref[:] = h_ref[:]
+    c2_ref[:] = c_ref[:]
+
+    def body(t, _):
+        x = x_ref[t]
+        h_t = h2_ref[:]
+        c_t = c2_ref[:]
+        gates = (
+            jnp.dot(x.astype(wd), wih_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(h_t.astype(wd), whh_ref[:], preferred_element_type=jnp.float32)
+            + b_ref[:].astype(jnp.float32)
+        )
+        i = gates[:, :H]
+        f = gates[:, H : 2 * H]
+        g = gates[:, 2 * H : 3 * H]
+        o = gates[:, 3 * H :]
+        # cell state stays f32 (streaming error must not compound)
+        c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new = jnp.dot(hc.astype(wd), whr_ref[:], preferred_element_type=jnp.float32)
+
+        y = x.astype(jnp.float32) + h_new  # residual LSTM
+        mid = (
+            jnp.dot(y.astype(wd), ff1_ref[:], preferred_element_type=jnp.float32)
+            + f1b_ref[:].astype(jnp.float32)
+        )
+        mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+        ff = (
+            jnp.dot(mid.astype(wd), ff2_ref[:], preferred_element_type=jnp.float32)
+            + f2b_ref[:].astype(jnp.float32)
+        )
+        yn = y + ff
+        y_ref[t] = yn * jax.lax.rsqrt(
+            jnp.mean(yn * yn, axis=-1, keepdims=True) + eps_ref[0]
+        )
+        if gated:
+            # prefix participation: step t live iff t < n_pulls[session]
+            live = t < n_ref[:]  # [bs, 1] bool
+            h2_ref[:] = jnp.where(live, h_new, h_t)
+            c2_ref[:] = jnp.where(live, c_new, c_t)
+        else:
+            h2_ref[:] = h_new
+            c2_ref[:] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def lstm_layer_chunk_fused(
+    x,
+    h,
+    c,
+    w_ih_t,
+    w_hh_t,
+    bias,
+    w_hr_t,
+    ff1_t,
+    ff1_b,
+    ff2_t,
+    ff2_b,
+    eps,
+    n_pulls=None,
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """Whole-chunk fused layer: x [P, S, d] -> (y [P, S, d], h', c').
+
+    The layer-step kernel (`lstm_layer_fused`) re-fetches the ~12 MB of layer
+    weights from HBM on every pull; at P pulls per engine step that traffic
+    plus per-call overheads dominate. Here the time loop runs INSIDE the
+    kernel: weights and the carried h/c stay VMEM-resident across all P
+    timesteps and every intermediate lives in VMEM, so HBM traffic is
+    weights once + x/y once + h/c once — the floor for a chunked streaming
+    LSTM. `n_pulls` ([S] int32, optional) is the per-session live-step count
+    (prefix gating, matching _lstm_stack_chunk's `can` mask).
+    """
+    P, S, d = x.shape
+    hidden = c.shape[1]
+    ffn = ff1_t.shape[1]
+    grid = (S // block_s,)
+
+    def xrow(i):
+        return (0, i, 0)
+
+    def row(i):
+        return (i, 0)
+
+    def const(i):
+        return (0, 0)
+
+    eps_arr = jnp.reshape(eps.astype(jnp.float32), (1,))
+    gated = n_pulls is not None
+    n_col = (
+        n_pulls.astype(jnp.int32).reshape(S, 1)
+        if gated
+        else jnp.full((S, 1), P, jnp.int32)
+    )
+
+    flops = 2 * S * P * (d * 4 * hidden * 2 + hidden * d + d * ffn * 2)
+    y, h2, c2 = pl.pallas_call(
+        functools.partial(_chunk_kernel, P, gated),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, block_s, d), xrow, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),  # n_pulls
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((ffn, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (1,)
+        ],
+        out_specs=(
+            pl.BlockSpec((P, block_s, d), xrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, hidden), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                (2 * d * 4 * hidden + hidden * d + 2 * d * ffn)
+                * w_ih_t.dtype.itemsize
+                + S * (P * 2 * d + 2 * d + 2 * hidden) * 4
+            ),
+            transcendentals=S * P * (5 * hidden + ffn),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        h,
+        c,
+        n_col,
+        w_ih_t,
+        w_hh_t,
+        bias.reshape(1, -1),
+        w_hr_t,
+        ff1_t,
+        ff1_b.reshape(1, -1),
+        ff2_t,
+        ff2_b.reshape(1, -1),
+        eps_arr,
+    )
+    return y, h2, c2
+
+
+# VMEM budget bound for the chunk kernel: x+y tiles are P*block_s*d f32 each.
+CHUNK_MAX_PULLS = 32
+# Below this many pulls the kernel's fixed costs (12 unrolled launches,
+# weight residency setup) beat its VMEM wins and plain XLA layer-major is
+# faster (measured on v5e at S=2048: P=5 XLA 44 ms vs kernel 60 ms per step;
+# P=25 kernel 84 ms vs XLA 109 ms).
+CHUNK_MIN_PULLS = 12
+
+
 def supported_dims(S: int, d: int, hidden: int, ffn: int, block_s: int) -> bool:
     """Tiling constraints: lanes are 128-wide; the session tile must divide S."""
     return (

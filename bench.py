@@ -95,14 +95,14 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     from april_asr_tpu.models.loader import _native_split_fns
 
     enc, dec, joi = _native_runtime_fns(dims)
-    embed, recur = _native_split_fns()
+    embed, recur, chunk = _native_split_fns()
     return ModelRuntime(
         name="flagship-bench", description="", language="en-us",
         params=mp, fbank_opts=_fbank_opts_from_params(mp),
         vocab=build_vocab_tables(mp), dims=dims, kind="native",
         weights=params, encoder_step=enc, decoder_step=dec, joiner=joi,
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
-        encoder_embed=embed, encoder_recurrent=recur,
+        encoder_embed=embed, encoder_recurrent=recur, encoder_chunk=chunk,
     )
 
 

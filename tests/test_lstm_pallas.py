@@ -123,3 +123,38 @@ def test_pallas_disabled_context(monkeypatch):
     with M.pallas_disabled():
         assert not M._pallas_wanted()
     assert M._pallas_wanted()
+
+
+def test_stack_chunk_pallas_matches_pure(monkeypatch):
+    """Whole-chunk fused kernel (time loop in-kernel) vs the pure layer-major
+    scan, including per-session prefix participation masks."""
+    dims = M.TransducerDims(
+        mel=80, segment_size=9, d_model=128, hidden=256, ffn=256,
+        joiner_dim=128, vocab=128, layers=3, decoder_groups=32,
+        conv_channels=(4, 8, 8),
+    )
+    params = M.init_transducer_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(3)
+    S, P = 128, 4
+    y = jnp.asarray(rng.normal(size=(P, S, dims.d_model)).astype(np.float32) * 0.2)
+    h = jnp.asarray(rng.normal(size=(dims.layers, S, dims.d_model)).astype(np.float32) * 0.1)
+    c = jnp.asarray(rng.normal(size=(dims.layers, S, dims.hidden)).astype(np.float32) * 0.1)
+    n_pulls = jnp.asarray(rng.integers(0, P + 1, S).astype(np.int32))
+    can = jnp.arange(P)[:, None] < n_pulls[None, :]
+
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    y0, h0, c0 = M._lstm_stack_chunk(params, y, h, c, can)
+    # direct call: the auto path only picks the kernel at P >= CHUNK_MIN_PULLS
+    y1, h1, c1 = M._lstm_stack_chunk_pallas(params, y, h, c, can, block_s=64)
+    live = np.asarray(can)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(y0) * live, np.asarray(y1) * live, atol=2e-5, rtol=1e-3
+    )
+    for a, b in ((h0, h1), (c0, c1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+    # ungated
+    y0, h0, c0 = M._lstm_stack_chunk(params, y, h, c)
+    y1, h1, c1 = M._lstm_stack_chunk_pallas(params, y, h, c, None, block_s=64)
+    for a, b in ((y0, y1), (h0, h1), (c0, c1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)

@@ -78,3 +78,51 @@ def test_decoder_table_path_matches_grouped_conv():
     ref = decoder_step(params, jnp.asarray(ctx), DIMS)
     fast = decoder_step(precompute_decoder_tables(params, DIMS), jnp.asarray(ctx), DIMS)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_chunk_matches_per_pull_recurrent():
+    """encoder_chunk (layer-major whole-chunk) must match scanning
+    encoder_recurrent pull-by-pull, including prefix participation masks:
+    masked (pull, session) cells keep carried h/c."""
+    from april_asr_tpu.models import encoder_chunk
+    from april_asr_tpu.models.lstm_transducer import encoder_recurrent
+
+    params = init_transducer_params(jax.random.PRNGKey(3), DIMS)
+    S, P = 3, 5
+    y = jax.random.normal(jax.random.PRNGKey(4), (P, S, DIMS.d_model))
+    h0, c0 = init_streaming_state(DIMS, S)
+    # per-session prefix masks: session 0 pulls all 5, session 1 pulls 2,
+    # session 2 pulls none
+    n_pulls = jnp.array([5, 2, 0])
+    can = jnp.arange(P)[:, None] < n_pulls[None, :]  # [P, S]
+
+    eouts_c, h_c, c_c = jax.jit(encoder_chunk)(params, y, h0, c0, can)
+    assert eouts_c.shape == (P, S, DIMS.joiner_dim)
+
+    h, c = h0, c0
+    outs = []
+    for i in range(P):
+        eout, h, c = encoder_recurrent(params, y[i], h, c, can[i])
+        outs.append(eout)
+    eouts_r = jnp.stack(outs, axis=0)
+
+    live = np.asarray(can)[:, :, None]
+    np.testing.assert_allclose(
+        np.asarray(eouts_c) * live, np.asarray(eouts_r) * live,
+        atol=1e-5, rtol=1e-5,
+    )
+    np.testing.assert_allclose(np.asarray(h_c), np.asarray(h), atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_c), np.asarray(c), atol=1e-5, rtol=1e-5)
+
+
+def test_chunk_ungated_matches_gated_all_true():
+    from april_asr_tpu.models import encoder_chunk
+
+    params = init_transducer_params(jax.random.PRNGKey(5), DIMS)
+    S, P = 2, 4
+    y = jax.random.normal(jax.random.PRNGKey(6), (P, S, DIMS.d_model))
+    h0, c0 = init_streaming_state(DIMS, S)
+    a = jax.jit(encoder_chunk)(params, y, h0, c0, jnp.ones((P, S), bool))
+    b = jax.jit(lambda p, y, h, c: encoder_chunk(p, y, h, c))(params, y, h0, c0)
+    for x, z in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(z), atol=1e-6)
