@@ -289,8 +289,10 @@ def lstm_layer_chunk_fused(
     return y, h2, c2
 
 
-# VMEM budget bound for the chunk kernel: x+y tiles are P*block_s*d f32 each.
-CHUNK_MAX_PULLS = 32
+# VMEM budget bound for the chunk kernel: x+y tiles are P*block_s*d f32 each
+# (P=56 at block_s=128, d=512 is ~14.7 MB per tile — fits the 100 MB budget
+# with weights and double-buffering).
+CHUNK_MAX_PULLS = 56
 # Below this many pulls the kernel's fixed costs (12 unrolled launches,
 # weight residency setup) beat its VMEM wins and plain XLA layer-major is
 # faster (measured on v5e at S=2048: P=5 XLA 44 ms vs kernel 60 ms per step;

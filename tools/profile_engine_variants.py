@@ -124,16 +124,33 @@ def make_variant(rt, batch, chunk, *, decode=True, lstm=True, fbank=True,
 
         h, c, dstate = state["h"], state["c"], state["decode"]
 
-        def scan_body(carry, xs):
-            h, c, dstate = carry
-            y0_i, can_i = xs
-            dstate = dict(dstate)
-            dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
-            eout, h, c = recurrent(weights, y0_i, h, c, can_i)
-            dstate, events = inner_decode(weights, eout, can_i, dstate)
-            return (h, c, dstate), events
+        if lstm and rt.encoder_chunk is not None:
+            # mirror the engine's whole-chunk fast path (engine/step.py)
+            eouts, h, c = rt.encoder_chunk(weights, y0, h, c, can)
 
-        (h, c, dstate), events = jax.lax.scan(scan_body, (h, c, dstate), (y0, can))
+            def scan_body(dstate, xs):
+                eout_i, can_i = xs
+                dstate = dict(dstate)
+                dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(
+                    jnp.int32
+                )
+                dstate, events = inner_decode(weights, eout_i, can_i, dstate)
+                return dstate, events
+
+            dstate, events = jax.lax.scan(scan_body, dstate, (eouts, can))
+        else:
+            def scan_body(carry, xs):
+                h, c, dstate = carry
+                y0_i, can_i = xs
+                dstate = dict(dstate)
+                dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(jnp.int32)
+                eout, h, c = recurrent(weights, y0_i, h, c, can_i)
+                dstate, events = inner_decode(weights, eout, can_i, dstate)
+                return (h, c, dstate), events
+
+            (h, c, dstate), events = jax.lax.scan(
+                scan_body, (h, c, dstate), (y0, can)
+            )
         events = {k: jnp.transpose(v, (1, 0, 2)) for k, v in events.items()}
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
         return state, pack_events(events)
