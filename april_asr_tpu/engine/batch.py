@@ -13,6 +13,7 @@ ERROR_CANT_KEEP_UP (reference: audio_provider.c:59-64, april_session.c:485-492).
 
 from __future__ import annotations
 
+import dataclasses
 import threading
 from typing import Callable, Dict, List, Optional
 
@@ -114,7 +115,30 @@ class BatchEngine:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..ops.dispatch import pallas_disabled
             from ..parallel import shard_params, state_spec_tree
+
+            # GSPMD cannot partition a pallas_call: the step/flush programs
+            # must trace with the pure-XLA compute paths. The dispatch flag
+            # is read at TRACE time (first invocation), so wrap the jitted
+            # entry points — tracing then happens inside the disabled scope;
+            # later calls hit the jit cache and the wrapper is a no-op.
+            if prog is None:
+                import functools as _ft
+
+                def _no_pallas(fn):
+                    @_ft.wraps(fn)
+                    def inner(*a, **k):
+                        with pallas_disabled():
+                            return fn(*a, **k)
+
+                    return inner
+
+                self.prog = dataclasses.replace(
+                    self.prog,
+                    step=_no_pallas(self.prog.step),
+                    flush=_no_pallas(self.prog.flush),
+                )
 
             data_axis = mesh.axis_names[0]
             if batch % mesh.shape[data_axis]:

@@ -190,6 +190,51 @@ def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: flo
     return audio_s_per_step / (dt / steps), step_ms, n_events / steps, (p50, p99)
 
 
+def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
+    plat = os.environ.get("APRIL_BENCH_PLATFORM")
+    if plat:
+        # this box's sitecustomize force-registers the TPU platform; the
+        # config update (not the env var) is what actually moves backends
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    rt = build_runtime(arch=arch)
+    thr, step_ms, evps, (p50, p99) = bench_batch(
+        rt, S, steps=steps, chunk_seconds=chunk_s
+    )
+    return {
+        "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
+        "evps": evps, "p50": p50, "p99": p99,
+    }
+
+
+def _run_one_subprocess(S: int, chunk_s: float, timeout_s: float) -> dict | None:
+    """Run one config in a child process so a wedged backend compile (the
+    remote TPU service here can hang indefinitely) cannot take down the
+    whole benchmark — the child is killed at the timeout and the remaining
+    configs still run."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", str(S), str(chunk_s)],
+            stdout=subprocess.PIPE,
+            timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        print(f"# config ({S},{chunk_s}) timed out after {timeout_s:.0f}s", file=sys.stderr)
+        return None
+    if proc.returncode != 0:
+        print(f"# config ({S},{chunk_s}) exited {proc.returncode}", file=sys.stderr)
+        return None
+    for line in proc.stdout.decode().splitlines()[::-1]:
+        if line.startswith("{"):
+            return json.loads(line)
+    print(f"# config ({S},{chunk_s}) produced no result line", file=sys.stderr)
+    return None
+
+
 def main():
     # (S, chunk_seconds): the 1 s chunk is the throughput point; the 200 ms
     # chunk is the low-latency serving point (reference cadence,
@@ -202,17 +247,40 @@ def main():
         ]
     steps = int(os.environ.get("APRIL_BENCH_STEPS", "20"))
     arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
-    rt = build_runtime(arch=arch)
+
+    if len(sys.argv) == 4 and sys.argv[1] == "--one":
+        r = _run_one(int(sys.argv[2]), float(sys.argv[3]), steps, arch)
+        print(json.dumps(r))
+        return
+
+    inproc = os.environ.get("APRIL_BENCH_INPROC", "0") == "1"
+    timeout_s = float(os.environ.get("APRIL_BENCH_CONFIG_TIMEOUT_S", "1500"))
+    retries = int(os.environ.get("APRIL_BENCH_RETRIES", "1"))
 
     best = (0.0, 0, 0.0, 0.0)
     for S, chunk_s in configs:
-        try:
-            thr, step_ms, evps, (p50, p99) = bench_batch(
-                rt, S, steps=steps, chunk_seconds=chunk_s
-            )
-        except Exception as e:
-            print(f"# config ({S},{chunk_s}) failed: {type(e).__name__}: {e}", file=sys.stderr)
+        r = None
+        for attempt in range(1 + retries):
+            if inproc:
+                try:
+                    r = _run_one(S, chunk_s, steps, arch)
+                except Exception as e:
+                    print(
+                        f"# config ({S},{chunk_s}) failed: {type(e).__name__}: {e}",
+                        file=sys.stderr,
+                    )
+                    r = None
+            else:
+                r = _run_one_subprocess(S, chunk_s, timeout_s)
+            if r is not None:
+                break
+            if attempt < retries:
+                print(f"# retrying config ({S},{chunk_s})", file=sys.stderr)
+        if r is None:
             continue
+        thr, step_ms, evps, p50, p99 = (
+            r["thr"], r["step_ms"], r["evps"], r["p50"], r["p99"]
+        )
         print(
             f"# batch={S} chunk={chunk_s}s: {thr:,.0f} audio-s/s, "
             f"step {step_ms:.1f} ms, {evps:.0f} events/step, "

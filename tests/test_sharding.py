@@ -194,3 +194,42 @@ def test_batch_engine_on_mesh_matches_single_device(params):
     assert sum(len(s) for s in ref) > 0
     for i in range(8):
         assert got[i] == ref[i], f"slot {i} event stream diverged"
+
+
+def test_batch_engine_on_mesh_disables_pallas(params, monkeypatch):
+    """Forced-pallas mode must not leak pallas calls into the partitioned
+    step/flush programs (GSPMD cannot partition a pallas_call): the mesh
+    engine traces its programs under pallas_disabled and still produces the
+    unsharded callback stream."""
+    from april_asr_tpu.engine import BatchEngine
+
+    rt = _tiny_runtime(params)
+    rng = np.random.default_rng(11)
+    S = 8
+    audio = (rng.normal(0, 0.15, size=(S, 9600)) * 20000).astype(np.int16)
+
+    def run(mesh):
+        eng = BatchEngine(rt, batch=S, mesh=mesh)
+        streams = [[] for _ in range(S)]
+
+        def mk(i):
+            return lambda result, toks: streams[i].append(
+                (result, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+            )
+
+        slots = [eng.alloc(mk(i)) for i in range(S)]
+        for off in range(0, audio.shape[1], 3200):
+            for i, sl in enumerate(slots):
+                eng.feed(sl, audio[i, off : off + 3200])
+            while eng.tick():
+                pass
+        eng.flush(np.ones(S, bool))
+        return streams
+
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    ref = run(None)
+    monkeypatch.setenv("APRIL_PALLAS", "1")
+    got = run(make_mesh(model_parallel=2))
+    assert sum(len(s) for s in ref) > 0
+    for i in range(S):
+        assert got[i] == ref[i], f"slot {i} event stream diverged"
