@@ -132,6 +132,23 @@ def _shift_left(words: jnp.ndarray, shift: jnp.ndarray, head: jnp.ndarray) -> jn
     return jnp.where(live, moved, words)
 
 
+def greedy_prologue(
+    logits: jnp.ndarray, blank_id: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """[S, V] logits -> (max_idx, max_val, blank_val), the only three values
+    the greedy heuristics consume (april_session.c:311-320). Split out so
+    native models can compute them fused with the joiner matmul
+    (ops/joiner_pallas.py) without materializing logits in HBM."""
+    V = logits.shape[1]
+    vocab_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
+    masked = jnp.where(vocab_iota == blank_id, NEG_INF, logits)
+    return (
+        jnp.argmax(masked, axis=1).astype(jnp.int32),
+        jnp.max(masked, axis=1),
+        logits[:, blank_id],
+    )
+
+
 def decode_step(
     state: Dict[str, jnp.ndarray],
     logits: jnp.ndarray,
@@ -141,7 +158,26 @@ def decode_step(
     vt: Dict[str, np.ndarray],
     cfg: DecodeConfig,
 ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
-    """One aas_process_logits step over the batch.
+    """One aas_process_logits step over the batch (logits form)."""
+    max_idx, max_val, blank_val = greedy_prologue(logits, blank_id)
+    return decode_step_pre(
+        state, max_idx, max_val, blank_val, active, early_emit, blank_id, vt, cfg
+    )
+
+
+def decode_step_pre(
+    state: Dict[str, jnp.ndarray],
+    max_idx: jnp.ndarray,
+    max_val: jnp.ndarray,
+    blank_val: jnp.ndarray,
+    active: jnp.ndarray,
+    early_emit: float,
+    blank_id: int,
+    vt: Dict[str, np.ndarray],
+    cfg: DecodeConfig,
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray], jnp.ndarray, jnp.ndarray]:
+    """One aas_process_logits step over the batch, from the precomputed
+    (max_idx, max_val, blank_val) prologue.
 
     Returns (new_state, events, is_blank, need_decoder): `need_decoder` marks
     sessions whose context changed (emission or context clear) and therefore
@@ -150,20 +186,13 @@ def decode_step(
     running the decoder, april_session.c:181-196).
     """
     T = cfg.max_active_tokens
-    S, V = logits.shape
+    S = max_idx.shape[0]
     state = dict(state)
     evt = _empty_events(S)
     pos = jnp.arange(T, dtype=jnp.int32)[None, :]  # [1, T]
 
     # fold the packed numpy bitmask table into the trace as a constant
     t_mask = jnp.asarray(vt["mask"])
-
-    # argmax over non-blank logits (april_session.c:311-320)
-    vocab_iota = jnp.arange(V, dtype=jnp.int32)[None, :]
-    masked = jnp.where(vocab_iota == blank_id, NEG_INF, logits)
-    max_idx = jnp.argmax(masked, axis=1).astype(jnp.int32)
-    max_val = jnp.max(masked, axis=1)
-    blank_val = logits[:, blank_id]
 
     last_ctx = state["context"][:, -1]
     was_context_cleared = last_ctx == blank_id  # :322

@@ -28,6 +28,7 @@ from ..config import DecodeConfig, EngineConfig
 from ..decode import events as ev
 from ..decode.greedy import (
     decode_step,
+    decode_step_pre,
     init_decode_state,
     vocab_tables_device,
 )
@@ -176,14 +177,22 @@ def build_engine(
 
     def inner_decode(weights, eout, can, dstate):
         """The <=3-symbol masked inner loop for one pull (shared by both
-        step paths and the flush path)."""
+        step paths and the flush path). Native joiners use the fused
+        joiner+argmax prologue so the [S, vocab] logits never leave VMEM
+        (this loop runs up to 3x per pull for every session)."""
         done = ~can
         evts = []
         for ee in INNER_STEPS_EMIT:
-            logits = rt.joiner(weights, eout, dstate["dout"])
-            dstate, evt, is_blank, need_dec = decode_step(
-                dstate, logits, ~done, ee, blank, vt, dcfg
-            )
+            if rt.joiner_argmax is not None:
+                mi, mv, bv = rt.joiner_argmax(weights, eout, dstate["dout"])
+                dstate, evt, is_blank, need_dec = decode_step_pre(
+                    dstate, mi, mv, bv, ~done, ee, blank, vt, dcfg
+                )
+            else:
+                logits = rt.joiner(weights, eout, dstate["dout"])
+                dstate, evt, is_blank, need_dec = decode_step(
+                    dstate, logits, ~done, ee, blank, vt, dcfg
+                )
             new_dout = rt.decoder_step(weights, dstate["context"])
             dstate["dout"] = jnp.where(need_dec[:, None], new_dout, dstate["dout"])
             done = done | is_blank

@@ -81,6 +81,10 @@ class ModelRuntime:
     # P <= encoder_chunk_max_pulls.
     encoder_chunk: Optional[Callable] = None
     encoder_chunk_max_pulls: Optional[int] = None
+    # Optional fused greedy prologue (native joiners): (w, eout, dout) ->
+    # (max_idx, max_val, blank_val) — the engine prefers this over
+    # joiner + decode-side argmax so [S, vocab] logits never hit HBM.
+    joiner_argmax: Optional[Callable] = None
 
     @property
     def sample_rate(self) -> int:
@@ -154,6 +158,12 @@ def _native_runtime_fns(dims: TransducerDims):
         return joiner_logits(w, eout, dout)
 
     return encoder, decoder, joiner
+
+
+def _native_joiner_argmax(blank_id: int):
+    from .lstm_transducer import joiner_argmax
+
+    return lambda w, e, d: joiner_argmax(w, e, d, blank_id)
 
 
 def _native_split_fns():
@@ -325,6 +335,7 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         encoder_embed=embed,
         encoder_recurrent=recur,
         encoder_chunk=chunk,
+        joiner_argmax=_native_joiner_argmax(p.blank_id) if kind == "native" else None,
     )
 
 
@@ -365,6 +376,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         encoder_embed=embed,
         encoder_recurrent=recur,
         encoder_chunk=chunk,
+        joiner_argmax=_native_joiner_argmax(p.blank_id),
     )
 
 

@@ -547,6 +547,31 @@ def joiner_logits(params: Params, eout: jnp.ndarray, dout: jnp.ndarray) -> jnp.n
     )
 
 
+def joiner_argmax(
+    params: Params, eout: jnp.ndarray, dout: jnp.ndarray, blank_id: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Greedy-decode prologue: (max_idx, max_val, blank_val) without ever
+    materializing the [S, vocab] logits in HBM. The greedy inner loop runs
+    this up to 3x per 40 ms frame per session (src/april_session.c:166-179,
+    :311-320); on TPU it fuses joiner matmul + blank-excluded argmax in one
+    Pallas kernel, elsewhere it falls back to joiner_logits + the XLA
+    prologue (identical results)."""
+    if _pallas_wanted():
+        from ..ops.joiner_pallas import joiner_argmax_fused, supported
+
+        S, J = eout.shape
+        block_s = _pick_block_s(S)
+        if block_s and supported(S, J, block_s):
+            return joiner_argmax_fused(
+                eout, dout, params["join_t"], params["join_b"],
+                blank_id=blank_id, block_s=block_s,
+                interpret=jax.default_backend() != "tpu",
+            )
+    from ..decode.greedy import greedy_prologue
+
+    return greedy_prologue(joiner_logits(params, eout, dout), blank_id)
+
+
 def init_streaming_state(
     dims: TransducerDims, batch: int, dtype=jnp.float32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

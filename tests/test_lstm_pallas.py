@@ -158,3 +158,41 @@ def test_stack_chunk_pallas_matches_pure(monkeypatch):
     y1, h1, c1 = M._lstm_stack_chunk_pallas(params, y, h, c, None, block_s=64)
     for a, b in ((y0, y1), (h0, h1), (c0, c1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3)
+
+
+def test_joiner_argmax_fused_matches_prologue(monkeypatch):
+    """Fused joiner+argmax kernel vs joiner_logits + XLA greedy prologue."""
+    from april_asr_tpu.decode.greedy import greedy_prologue
+
+    dims = M.TransducerDims(
+        mel=80, segment_size=9, d_model=128, hidden=256, ffn=256,
+        joiner_dim=128, vocab=77, layers=2, decoder_groups=32,
+        conv_channels=(4, 8, 8),
+    )
+    params = M.init_transducer_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(5)
+    S = 128
+    eout = jnp.asarray(rng.normal(size=(S, dims.joiner_dim)).astype(np.float32))
+    dout = jnp.asarray(rng.normal(size=(S, dims.joiner_dim)).astype(np.float32))
+    blank = 0
+
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    ref = M.joiner_argmax(params, eout, dout, blank)
+    ref2 = greedy_prologue(M.joiner_logits(params, eout, dout), blank)
+    for a, b in zip(ref, ref2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    monkeypatch.setenv("APRIL_PALLAS", "1")
+    got = M.joiner_argmax(params, eout, dout, blank)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[2]), np.asarray(ref[2]), atol=2e-5, rtol=1e-5)
+
+    # bf16 weights path
+    wp = M.cast_weights(params, jnp.bfloat16)
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    ref = M.joiner_argmax(wp, eout, dout, blank)
+    monkeypatch.setenv("APRIL_PALLAS", "1")
+    got = M.joiner_argmax(wp, eout, dout, blank)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]), atol=1e-4, rtol=1e-4)
