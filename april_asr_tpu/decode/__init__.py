@@ -1,5 +1,11 @@
 from . import events
-from .greedy import decode_step, init_decode_state, vocab_tables_device
+from .greedy import (
+    decode_step,
+    decode_step_pre,
+    greedy_prologue,
+    init_decode_state,
+    vocab_tables_device,
+)
 from .scalar import (
     RESULT_CANT_KEEP_UP,
     RESULT_FINAL,
@@ -12,6 +18,8 @@ from .scalar import (
 __all__ = [
     "events",
     "decode_step",
+    "decode_step_pre",
+    "greedy_prologue",
     "init_decode_state",
     "vocab_tables_device",
     "ScalarDecoder",
