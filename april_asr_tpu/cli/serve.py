@@ -49,20 +49,53 @@ class _Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr, handler_cls, engine, params, model_info=None):
+    def __init__(
+        self, addr, handler_cls, engine, params, model_info=None,
+        profile_dir=None, profile_ticks=50,
+    ):
         super().__init__(addr, handler_cls)
         self.engine = engine
         self.params = params
         self.model_info = model_info or {
             "name": "", "description": "", "language": "", "sample_rate": 16000,
         }
+        self._profile_dir = profile_dir
+        self._profile_ticks = profile_ticks
+        self._prof = None
+        self._prof_lock = threading.Lock()
         self._tick_thread = threading.Thread(target=self._tick_loop, daemon=True)
         self._tick_thread.start()
 
+    def _stop_profile(self):
+        with self._prof_lock:
+            prof, self._prof = self._prof, None
+        if prof is not None:
+            prof.__exit__(None, None, None)
+            print(
+                f"profiler trace written to {self._profile_dir}", file=sys.stderr
+            )
+
+    def server_close(self):
+        # finalize a still-open trace so short sessions aren't lost
+        self._stop_profile()
+        super().server_close()
+
     def _tick_loop(self):
+        # optional one-shot jax.profiler trace of the first N non-idle ticks
+        # (--profile-dir); inspect with TensorBoard / Perfetto
+        traced = 0
+        if self._profile_dir:
+            from ..utils.profiling import trace
+
+            self._prof = trace(self._profile_dir)
+            self._prof.__enter__()
         while True:
             if not self.engine.tick():
                 time.sleep(0.005)
+            elif self._prof is not None:
+                traced += 1
+                if traced >= self._profile_ticks:
+                    self._stop_profile()
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -181,6 +214,15 @@ def main(argv=None) -> int:
         "--model-parallel", type=int, default=1,
         help="tensor-parallel degree over the model axis (implies --mesh)",
     )
+    ap.add_argument(
+        "--profile-dir", default=None,
+        help="write a jax.profiler trace of the first engine ticks here "
+        "(view with TensorBoard's profile plugin or ui.perfetto.dev)",
+    )
+    ap.add_argument(
+        "--profile-ticks", type=int, default=50,
+        help="non-idle ticks to trace before finalizing --profile-dir",
+    )
     args = ap.parse_args(argv)
 
     from ..api import Model
@@ -204,6 +246,8 @@ def main(argv=None) -> int:
         _Handler,
         engine,
         model.runtime.params,
+        profile_dir=args.profile_dir,
+        profile_ticks=args.profile_ticks,
         model_info={
             "name": model.get_name(),
             "description": model.get_description(),
@@ -215,6 +259,8 @@ def main(argv=None) -> int:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        server.server_close()
     return 0
 
 

@@ -172,26 +172,36 @@ def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: flo
         state, events = prog.step(rt.weights, state, bufs[i % 8], n)
     jax.block_until_ready(events)
 
+    import contextlib
+
+    from april_asr_tpu.utils.profiling import annotate, trace
+
+    prof_dir = os.environ.get("APRIL_BENCH_PROFILE")
+    prof = trace(prof_dir) if prof_dir else contextlib.nullcontext()
+
     n_events = 0
     prev = None
     lat = []  # per-step partial-result latency: dispatch -> events replayed
     durs = []  # per-iteration wall time (dispatch + lag-1 replay of prev)
     t_disp = None
-    t0 = time.perf_counter()
-    t_iter = t0
-    for i in range(steps):
-        state, events = prog.step(rt.weights, state, bufs[i % 8], n)
-        t_new = time.perf_counter()
-        if prev is not None:
-            n_events += replay(prev)  # lag-1: overlaps device compute
-            lat.append(time.perf_counter() - t_disp)
-        prev, t_disp = events, t_new
-        t_now = time.perf_counter()
-        durs.append(t_now - t_iter)
-        t_iter = t_now
-    n_events += replay(prev)
-    lat.append(time.perf_counter() - t_disp)
-    dt = time.perf_counter() - t0
+    with prof:
+        t0 = time.perf_counter()
+        t_iter = t0
+        for i in range(steps):
+            with annotate("dispatch"):
+                state, events = prog.step(rt.weights, state, bufs[i % 8], n)
+            t_new = time.perf_counter()
+            if prev is not None:
+                with annotate("host_replay"):
+                    n_events += replay(prev)  # lag-1: overlaps device compute
+                lat.append(time.perf_counter() - t_disp)
+            prev, t_disp = events, t_new
+            t_now = time.perf_counter()
+            durs.append(t_now - t_iter)
+            t_iter = t_now
+        n_events += replay(prev)
+        lat.append(time.perf_counter() - t_disp)
+        dt = time.perf_counter() - t0
 
     # Median step time is the throughput basis: the remote TPU service here
     # intermittently stalls a single dispatch for seconds-to-minutes, which
