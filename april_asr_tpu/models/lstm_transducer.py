@@ -289,12 +289,12 @@ def _lstm_stack_chunk(
 
     This is the MXU-friendly form of the encoder hot loop: for each layer,
     the input-side gate matmul [P*S, d] x [d, 4*hidden] and the whole FFN run
-    batched over all P pulls (62%% of the layer FLOPs at reference dims), and
+    batched over all P pulls (62% of the layer FLOPs at reference dims), and
     only the recurrent half — h @ w_hh, the cell, and the [hidden, d]
     projection — stays inside the sequential time scan. Equivalent to
     scanning `_lstm_stack_step` over P (parity-tested in
-    tests/test_native_model.py) but ~40%% faster end-to-end on v5e because
-    the big matmuls amortize weight fetches and launch overheads P-fold.
+    tests/test_native_model.py); with the fused chunk kernel below it cut
+    the measured v5e engine step from 103 to 84 ms at S=2048, 25 pulls.
     """
     P, S, d = y.shape
 
