@@ -34,7 +34,14 @@ def init(version: int = APRIL_VERSION) -> None:
 # Public API re-exports (imported lazily to keep `import april_asr_tpu` light
 # for tools that only need io/config).
 def __getattr__(name):
-    if name in ("Model", "Session", "Token", "Result"):
+    if name in (
+        "Model",
+        "Session",
+        "Token",
+        "Result",
+        "transcribe_files",
+        "transcribe_pcm_batch",
+    ):
         from . import api
 
         return getattr(api, name)
@@ -49,6 +56,8 @@ __all__ = [
     "Session",
     "Token",
     "Result",
+    "transcribe_files",
+    "transcribe_pcm_batch",
     "DecodeConfig",
     "EngineConfig",
     "FbankOptions",

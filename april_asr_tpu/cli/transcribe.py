@@ -68,6 +68,27 @@ def _beam_transcribe(args) -> int:
     return 0
 
 
+def _list_transcribe(args) -> int:
+    """Bulk mode: decode every wav in a list file concurrently on the
+    batched engine (api/offline.py) and print '<path>\\t<transcript>'."""
+    from ..api import Model, transcribe_files
+
+    paths = []
+    with open(args.wav) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                paths.append(line.split("\t", 1)[0])
+    if not paths:
+        print("error: empty list file", file=sys.stderr)
+        return 1
+    model = Model(args.model)
+    texts = transcribe_files(model, paths, batch=args.batch)
+    for p, t in zip(paths, texts):
+        print(f"{p}\t{t}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("wav", help="wav path, '-' for raw PCM16 on stdin, '?' for zeros smoke test")
@@ -82,8 +103,20 @@ def main(argv=None) -> int:
         help="offline beam-search decode with this beam width (wav input only; "
         "0 = streaming greedy, the reference behavior)",
     )
+    ap.add_argument(
+        "--list", action="store_true",
+        help="treat the input as a text file listing wav paths (one per "
+        "line, optionally '<path>\\t...'); decodes them CONCURRENTLY on the "
+        "batched engine and prints '<path>\\t<transcript>' lines",
+    )
+    ap.add_argument(
+        "--batch", type=int, default=32,
+        help="concurrent utterances per engine group in --list mode",
+    )
     args = ap.parse_args(argv)
 
+    if args.list:
+        return _list_transcribe(args)
     if args.beam > 0:
         return _beam_transcribe(args)
 

@@ -25,6 +25,11 @@ def main(argv=None) -> int:
     ap.add_argument("manifest")
     ap.add_argument("--beam", type=int, default=0)
     ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument(
+        "--engine-batch", type=int, default=0,
+        help="decode N utterances concurrently on the batched engine "
+        "(api.transcribe_files; greedy only) instead of one at a time",
+    )
     args = ap.parse_args(argv)
 
     from april_asr_tpu.api import Model, Result, Session
@@ -45,6 +50,17 @@ def main(argv=None) -> int:
             pairs.append((wav, ref))
     if args.limit:
         pairs = pairs[: args.limit]
+
+    if args.engine_batch > 0 and args.beam == 0:
+        from april_asr_tpu.api import transcribe_files
+
+        hyps = transcribe_files(
+            model, [w for w, _ in pairs], batch=args.engine_batch
+        )
+        for (wav, ref), hyp in zip(pairs, hyps):
+            acc.add(ref, hyp)
+        print(acc.summary())
+        return 0
 
     for i, (wav, ref) in enumerate(pairs):
         samples, wav_rate = read_wav(wav)
