@@ -10,8 +10,24 @@ The public surface mirrors the reference Python binding
 `Result`, plus `init()` in place of `aam_api_init` (reference: src/init.c:33-51).
 """
 
+import os as _os
+
 from .version import APRIL_VERSION, __version__
 from .config import DecodeConfig, EngineConfig, FbankOptions, MeshConfig
+
+# Restore standard JAX_PLATFORMS env semantics: this box's sitecustomize
+# force-registers the remote TPU platform in a way that overrides the env
+# var, which silently routes "CPU" runs (tests, CLI smoke checks) to the
+# remote chip and its multi-minute transport stalls. The config update wins
+# over the sitecustomize registration as long as it lands before the first
+# backend use, which package import time guarantees for our entry points.
+if _os.environ.get("JAX_PLATFORMS"):
+    try:
+        import jax as _jax
+
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
 
 _initialized = False
 
