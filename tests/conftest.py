@@ -37,3 +37,9 @@ def pytest_configure(config):
         ensure_goldens()
     except FileNotFoundError:
         pass
+    try:
+        from tools.gen_golden_decode import ensure_goldens as ensure_decode
+
+        ensure_decode()
+    except FileNotFoundError:
+        pass
