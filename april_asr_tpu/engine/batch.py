@@ -102,7 +102,7 @@ class BatchEngine:
         if prog is not None and prog.batch != batch:
             raise ValueError(f"program batch {prog.batch} != engine batch {batch}")
         self.prog: EngineProgram = prog or build_engine(
-            rt, batch, cfg or EngineConfig(), dcfg or DecodeConfig()
+            rt, batch, cfg or EngineConfig(), dcfg or DecodeConfig(), mesh=mesh
         )
         self.cfg = self.prog.cfg
         self.dcfg = self.prog.dcfg
@@ -115,31 +115,11 @@ class BatchEngine:
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from ..ops.dispatch import pallas_disabled
             from ..parallel import shard_params, state_spec_tree
 
-            # GSPMD cannot partition a pallas_call: the step/flush programs
-            # must trace with the pure-XLA compute paths. The dispatch flag
-            # is read at TRACE time (first invocation), so wrap the jitted
-            # entry points — tracing then happens inside the disabled scope;
-            # later calls hit the jit cache and the wrapper is a no-op.
-            if prog is None:
-                import functools as _ft
-
-                def _no_pallas(fn):
-                    @_ft.wraps(fn)
-                    def inner(*a, **k):
-                        with pallas_disabled():
-                            return fn(*a, **k)
-
-                    return inner
-
-                self.prog = dataclasses.replace(
-                    self.prog,
-                    step=_no_pallas(self.prog.step),
-                    flush=_no_pallas(self.prog.flush),
-                )
-
+            # Pallas-vs-GSPMD handling lives in build_engine: data-parallel
+            # meshes get shard_map programs (Pallas kernels intact); TP
+            # meshes trace pure-XLA under pallas_disabled.
             data_axis = mesh.axis_names[0]
             if batch % mesh.shape[data_axis]:
                 raise ValueError(

@@ -141,7 +141,15 @@ def build_engine(
     batch: int,
     cfg: EngineConfig | None = None,
     dcfg: DecodeConfig | None = None,
+    mesh=None,
 ) -> EngineProgram:
+    """`mesh` builds the programs for multi-chip serving. Sessions are
+    independent, so the data-parallel case maps onto `shard_map` over the
+    data axis — each shard runs the full fused step locally, Pallas kernels
+    included (GSPMD cannot partition a pallas_call, but shard_map bodies are
+    per-device programs, so the fused LSTM/joiner kernels survive). Only
+    when the mesh also tensor-parallelizes the model (model axis > 1) do the
+    programs fall back to GSPMD partitioning with the pure-XLA paths."""
     cfg = cfg or EngineConfig()
     dcfg = dcfg or DecodeConfig()
     layout = FbankLayout.build(rt.fbank_opts, cfg.chunk_samples)
@@ -374,12 +382,70 @@ def build_engine(
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
         return state, pack_events(events)
 
+    if mesh is None:
+        step_c = jax.jit(step, donate_argnums=(1,))
+        flush_c = jax.jit(flush, donate_argnums=(1,))
+    else:
+        data_axis = mesh.axis_names[0]
+        model_size = 1
+        for ax in mesh.axis_names[1:]:
+            model_size *= mesh.shape[ax]
+        if model_size == 1:
+            from jax.sharding import PartitionSpec as PS
+
+            try:
+                from jax import shard_map as _shard_map
+            except ImportError:  # pragma: no cover - older jax
+                from jax.experimental.shard_map import shard_map as _shard_map
+
+            # Prefix specs: every state leaf is [S, ...] except h/c ([L, S, .]).
+            state_specs = {
+                "fbank": PS(data_axis),
+                "h": PS(None, data_axis),
+                "c": PS(None, data_axis),
+                "decode": PS(data_axis),
+            }
+            step_sm = _shard_map(
+                step,
+                mesh=mesh,
+                in_specs=(PS(), state_specs, PS(data_axis), PS(data_axis)),
+                out_specs=(state_specs, PS(data_axis)),
+                check_vma=False,
+            )
+            flush_sm = _shard_map(
+                flush,
+                mesh=mesh,
+                in_specs=(PS(), state_specs, PS(data_axis)),
+                out_specs=(state_specs, PS(data_axis)),
+                check_vma=False,
+            )
+            step_c = jax.jit(step_sm, donate_argnums=(1,))
+            flush_c = jax.jit(flush_sm, donate_argnums=(1,))
+        else:
+            # TP in play: GSPMD must partition the model contractions, which
+            # excludes pallas_call — trace with the pure-XLA compute paths.
+            # The dispatch flag is read at TRACE time, so wrap the jitted
+            # entry points; later calls hit the jit cache and the wrapper is
+            # a no-op.
+            from ..ops.dispatch import pallas_disabled
+
+            def _no_pallas(fn):
+                @functools.wraps(fn)
+                def inner(*a, **k):
+                    with pallas_disabled():
+                        return fn(*a, **k)
+
+                return inner
+
+            step_c = _no_pallas(jax.jit(step, donate_argnums=(1,)))
+            flush_c = _no_pallas(jax.jit(flush, donate_argnums=(1,)))
+
     return EngineProgram(
         rt=rt,
         layout=layout,
         cfg=cfg,
         dcfg=dcfg,
-        step=jax.jit(step, donate_argnums=(1,)),
-        flush=jax.jit(flush, donate_argnums=(1,)),
+        step=step_c,
+        flush=flush_c,
         batch=batch,
     )

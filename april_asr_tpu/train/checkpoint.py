@@ -86,6 +86,17 @@ def load_checkpoint(path: str | os.PathLike, template_state):
     )
 
 
+def load_checkpoint_params(path: str | os.PathLike) -> Dict[str, np.ndarray]:
+    """Load only the model parameters from a checkpoint (no optimizer-state
+    template needed — for export / eval tooling that doesn't resume
+    training). Derived tables are recomputed by the model loader."""
+    with open(path, "rb") as f:
+        flat, _ = load_safetensors_bytes(f.read())
+    return {
+        k[len("params."):]: v for k, v in flat.items() if k.startswith("params.")
+    }
+
+
 def latest_checkpoint(ckpt_dir: str | os.PathLike) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

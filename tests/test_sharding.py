@@ -233,3 +233,43 @@ def test_batch_engine_on_mesh_disables_pallas(params, monkeypatch):
     assert sum(len(s) for s in ref) > 0
     for i in range(S):
         assert got[i] == ref[i], f"slot {i} event stream diverged"
+
+
+def test_batch_engine_data_parallel_keeps_pallas(params, monkeypatch):
+    """Data-only meshes (model axis 1) build the engine via shard_map, where
+    each shard is a complete per-device program — so the fused Pallas
+    kernels stay ACTIVE (interpret mode on CPU), unlike GSPMD partitioning
+    which must fall back to pure XLA. The callback stream must match
+    unsharded pure-XLA execution."""
+    from april_asr_tpu.engine import BatchEngine
+
+    rt = _tiny_runtime(params)
+    rng = np.random.default_rng(13)
+    S = 8
+    audio = (rng.normal(0, 0.15, size=(S, 9600)) * 20000).astype(np.int16)
+
+    def run(mesh):
+        eng = BatchEngine(rt, batch=S, mesh=mesh)
+        streams = [[] for _ in range(S)]
+
+        def mk(i):
+            return lambda result, toks: streams[i].append(
+                (result, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+            )
+
+        slots = [eng.alloc(mk(i)) for i in range(S)]
+        for off in range(0, audio.shape[1], 3200):
+            for i, sl in enumerate(slots):
+                eng.feed(sl, audio[i, off : off + 3200])
+            while eng.tick():
+                pass
+        eng.flush(np.ones(S, bool))
+        return streams
+
+    monkeypatch.setenv("APRIL_PALLAS", "0")
+    ref = run(None)
+    monkeypatch.setenv("APRIL_PALLAS", "1")  # kernels active inside shard_map
+    got = run(make_mesh(model_parallel=1))
+    assert sum(len(s) for s in ref) > 0
+    for i in range(S):
+        assert got[i] == ref[i], f"slot {i} event stream diverged"
