@@ -315,32 +315,75 @@ def build_engine(
         """Broadcast [S] mask against an [S, ...] array."""
         return mask.reshape(mask.shape + (1,) * (arr.ndim - 1))
 
+    def pull_round(weights, carry, _):
+        """One masked pull WITHOUT log-eps padding — used to drain the FIFO
+        between the flush's zero-block accepts, where the reference performs
+        no fbank_flush padding (april_session.c:555-556 accepts both blocks
+        back-to-back; pulling real rows early is FIFO-order-invariant, but
+        padding here would inject rows the reference doesn't have)."""
+        fb, h, c, dstate, flushing = carry
+        fb_gated = dict(fb)
+        fb_gated["fifo_len"] = jnp.where(flushing, fb["fifo_len"], 0)
+        fb2, h, c, dstate, events = pull_once(weights, fb_gated, h, c, dstate)
+        fb = {k: jnp.where(_bmask(flushing, fb[k]), fb2[k], fb[k]) for k in fb}
+        return (fb, h, c, dstate, flushing), events
+
+    # Derived flush bounds (NOT constants — correct for any chunk size /
+    # segment geometry). A pad+pull round pulls once and decrements
+    # fifo_len_f by `step`; rounds stop when fifo_len_f < -3*seg
+    # (fbank.c:308-310). Entering with fifo_len_f <= seg-1, that is at most:
+    seg_step = layout.opts.pull_segment_step
+    pad_pull_rounds = ((seg - 1) + 3 * seg) // seg_step + 1
+    # The reference flush pushes two FIXED 3200-sample zero blocks
+    # (SEGSIZE, april_session.c:500,555-556) — independent of the engine's
+    # chunk size.
+    FLUSH_BLOCK = 3200
+    hop = layout.opts.sample_freq * layout.opts.frame_shift_ms // 1000
+
     def flush(weights, state, do_flush):
         """_aas_flush (:547-564) for the masked sessions."""
         fb, h, c, dstate = state["fbank"], state["h"], state["c"], state["decode"]
         S = do_flush.shape[0]
+        ev_groups = []
 
         # Phase A: drain + pad rounds until the debt bound stops padding.
         (fb, h, c, dstate, _), evA = jax.lax.scan(
             functools.partial(flush_round, weights),
             (fb, h, c, dstate, do_flush),
             None,
-            length=12,
+            length=pad_pull_rounds,
         )
+        ev_groups.append(evA)
 
-        # Phase B: two zero chunks accepted without inference (:555-556).
+        # Phase B: two fixed 3200-sample zero blocks (:555-556), split into
+        # chunk-sized accepts when the engine chunk is smaller, each followed
+        # by pad-free drain pulls so the FIFO (sized for one chunk) never
+        # overflows.
         zeros = jnp.zeros((S, layout.chunk), jnp.float32)
-        nz = jnp.where(do_flush, layout.chunk, 0).astype(jnp.int32)
-        fb = v_accept(fb, zeros, nz)
-        fb = v_accept(fb, zeros, nz)
+        for _ in range(2):
+            rem = FLUSH_BLOCK
+            while rem > 0:
+                take = min(layout.chunk, rem)
+                rem -= take
+                nz = jnp.where(do_flush, take, 0).astype(jnp.int32)
+                fb = v_accept(fb, zeros, nz)
+                drain = (take // hop + seg) // seg_step + 1
+                (fb, h, c, dstate, _), evB = jax.lax.scan(
+                    functools.partial(pull_round, weights),
+                    (fb, h, c, dstate, do_flush),
+                    None,
+                    length=drain,
+                )
+                ev_groups.append(evB)
 
         # Phase C: drain + pad rounds again (:558-559).
         (fb, h, c, dstate, _), evC = jax.lax.scan(
             functools.partial(flush_round, weights),
             (fb, h, c, dstate, do_flush),
             None,
-            length=24,
+            length=pad_pull_rounds,
         )
+        ev_groups.append(evC)
 
         # Phase D: finalize + clear context + silence (:561-563).
         dstate = dict(dstate)
@@ -367,9 +410,11 @@ def build_engine(
         dstate["dout"] = jnp.where(do_clear[:, None], new_dout, dstate["dout"])
         dstate["emitted_silence"] = jnp.where(do_flush, True, dstate["emitted_silence"])
 
-        # Stack event groups: A [12,S,3], C [24,S,3], D [S] -> [S, 37, 3]
-        evA = {k: jnp.transpose(v, (1, 0, 2)) for k, v in evA.items()}
-        evC = {k: jnp.transpose(v, (1, 0, 2)) for k, v in evC.items()}
+        # Stack event groups: each [rounds, S, 3] -> [S, sum(rounds)+1, 3]
+        ev_groups = [
+            {k: jnp.transpose(v, (1, 0, 2)) for k, v in g.items()}
+            for g in ev_groups
+        ]
         evD3 = {
             k: jnp.concatenate(
                 [v[:, None, None], jnp.zeros((S, 1, 2), v.dtype)], axis=2
@@ -377,7 +422,8 @@ def build_engine(
             for k, v in evD.items()
         }
         events = {
-            k: jnp.concatenate([evA[k], evC[k], evD3[k]], axis=1) for k in evA
+            k: jnp.concatenate([g[k] for g in ev_groups] + [evD3[k]], axis=1)
+            for k in evD3
         }
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
         return state, pack_events(events)

@@ -434,10 +434,19 @@ class ScalarSession:
             if not did:
                 break
             self._infer()
+        # two FIXED 3200-sample zero blocks (SEGSIZE, april_session.c:555-556)
+        # regardless of this session's chunk size; split into chunk-sized
+        # accepts with pad-free drains between (FIFO-order-invariant)
         zeros = jnp.zeros((1, self.chunk), jnp.float32)
-        nz = jnp.asarray([self.chunk], jnp.int32)
-        self.fb = self._accept(self.fb, zeros, nz)
-        self.fb = self._accept(self.fb, zeros, nz)
+        for _ in range(2):
+            rem = 3200
+            while rem > 0:
+                take = min(self.chunk, rem)
+                rem -= take
+                self.fb = self._accept(
+                    self.fb, zeros, jnp.asarray([take], jnp.int32)
+                )
+                self._infer()
         for _ in range(64):
             self.fb, did = _split_did(self._flush_pad(self.fb))
             if not did:

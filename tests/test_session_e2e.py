@@ -206,3 +206,46 @@ def test_cant_keep_up_on_overflow(model):
     big = np.zeros(16000, np.int16)
     sess._engine.feed(sess._slot, big)
     assert calls and calls[-1] == int(Result.ERROR_CANT_KEEP_UP)
+
+
+@pytest.mark.parametrize("chunk", [3200, 16000])
+def test_flush_matches_oracle_for_any_chunk(model, chunk):
+    """Flush must inject the reference's two FIXED 3200-sample zero blocks
+    (april_session.c:555-556) and derive its scan bounds from the layout —
+    NOT scale with the engine chunk. At chunk=16000 the old behavior padded
+    2 s of silence and under-drained the FIFO; the stream must be identical
+    to the scalar oracle (which runs at the reference's 3200 cadence)."""
+    from april_asr_tpu.config import EngineConfig
+    from april_asr_tpu.engine.batch import BatchEngine
+    from april_asr_tpu.testing import ScalarSession
+
+    audio = make_audio(1.7, seed=5)
+
+    oracle_calls = []
+    oracle = ScalarSession(
+        model.runtime,
+        lambda r, toks: oracle_calls.append(
+            (r, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+        ),
+    )
+    oracle.feed_pcm16(audio)
+    oracle.flush()
+
+    eng = BatchEngine(
+        model.runtime, batch=2, cfg=EngineConfig(chunk_samples=chunk)
+    )
+    calls = []
+    slot = eng.alloc(
+        lambda r, toks: calls.append(
+            (r, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+        )
+    )
+    eng.feed(slot, audio)
+    while eng.tick():
+        pass
+    mask = np.zeros(2, bool)
+    mask[slot] = True
+    eng.flush(mask)
+
+    assert len(oracle_calls) > 0
+    assert calls == oracle_calls
