@@ -99,6 +99,8 @@ class BatchEngine:
         compiles the same step program with collectives over ICI.
         """
         self.rt = rt
+        self._multiprocess = False
+        self._local_rows = (0, batch)
         if prog is not None and prog.batch != batch:
             raise ValueError(f"program batch {prog.batch} != engine batch {batch}")
         self.prog: EngineProgram = prog or build_engine(
@@ -126,9 +128,23 @@ class BatchEngine:
                     f"batch {batch} not divisible by data axis "
                     f"{mesh.shape[data_axis]}"
                 )
-            self.weights = shard_params(rt.weights, mesh)
-            state = init_engine_state(self.prog, self.weights)
-            specs = state_spec_tree(state, data_axis)
+            self._multiprocess = jax.process_count() > 1
+            if self._multiprocess:
+                # device_put cannot reach non-addressable devices; jit with
+                # out_shardings materializes global arrays from (identical)
+                # per-host values instead.
+                from ..parallel import param_specs
+
+                specs_w = param_specs(rt.weights)
+                w_shardings = {
+                    k: NamedSharding(mesh, specs_w[k]) for k in rt.weights
+                }
+                host_w = {k: np.asarray(v) for k, v in rt.weights.items()}
+                self.weights = jax.jit(lambda w: w, out_shardings=w_shardings)(
+                    host_w
+                )
+            else:
+                self.weights = shard_params(rt.weights, mesh)
 
             def to_shardings(t):
                 # explicit dict walk: PartitionSpec is a tuple subclass, so
@@ -137,8 +153,27 @@ class BatchEngine:
                     return {k: to_shardings(v) for k, v in t.items()}
                 return NamedSharding(mesh, t)
 
-            self.state = jax.device_put(state, to_shardings(specs))
+            if self._multiprocess:
+                # spec tree from an abstract trace (no host-local state can
+                # exist here — its arrays couldn't be device_put cross-host)
+                from .step import engine_state_init_fn
+
+                abstract = jax.eval_shape(
+                    lambda w: engine_state_init_fn(self.prog, w), self.weights
+                )
+                specs = state_spec_tree(abstract, data_axis)
+                self.state = init_engine_state(
+                    self.prog, self.weights, out_shardings=to_shardings(specs)
+                )
+            else:
+                state = init_engine_state(self.prog, self.weights)
+                specs = state_spec_tree(state, data_axis)
+                self.state = jax.device_put(state, to_shardings(specs))
             self._audio_sharding = NamedSharding(mesh, P(data_axis))
+            if self._multiprocess:
+                from ..parallel import local_slot_range
+
+                self._local_rows = local_slot_range(batch, mesh)
         self._init_state = self.state  # kept on device as the reset template
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
@@ -258,9 +293,17 @@ class BatchEngine:
 
     def _put(self, arr):
         """Move a [S, ...] host array to device, sharded over `data` when
-        the engine runs on a mesh."""
+        the engine runs on a mesh. In multi-process runs each host supplies
+        only the rows of its own slots (`local_slot_range`) — ingest never
+        crosses hosts; the global array is assembled from per-process
+        shards."""
         if self._audio_sharding is None:
             return jnp.asarray(arr)
+        if self._multiprocess:
+            lo, hi = self._local_rows
+            return jax.make_array_from_process_local_data(
+                self._audio_sharding, np.ascontiguousarray(arr[lo:hi]), arr.shape
+            )
         return jax.device_put(arr, self._audio_sharding)
 
     def flush(self, slot_mask: np.ndarray) -> None:
@@ -291,4 +334,19 @@ class BatchEngine:
     # -- event replay ------------------------------------------------------
 
     def _replay(self, packed_events: jnp.ndarray) -> None:
-        log.metrics.incr("events_replayed", replay_packed(packed_events, self.slots))
+        if self._multiprocess:
+            # only this host's addressable shards are readable; replay them
+            # into the matching local slot range (dedupe row ranges that the
+            # model axis replicates across devices)
+            by_start = {}
+            for sh in packed_events.addressable_shards:
+                start = sh.index[0].start or 0
+                if start not in by_start:
+                    by_start[start] = np.asarray(sh.data)
+            starts = sorted(by_start)
+            arr = np.concatenate([by_start[s] for s in starts], axis=0)
+            off = starts[0]
+            n = replay_packed(arr, self.slots[off : off + arr.shape[0]])
+        else:
+            n = replay_packed(packed_events, self.slots)
+        log.metrics.incr("events_replayed", n)

@@ -111,29 +111,36 @@ class EngineProgram:
         return self.layout.opts.segment_stride_ms
 
 
-def init_engine_state(prog: EngineProgram, weights=None) -> Dict:
+def init_engine_state(prog: EngineProgram, weights=None, out_shardings=None) -> Dict:
     """Fresh state for `prog.batch` sessions. The decoder is primed with the
     all-blank context (equivalent to the reference's first-infer priming,
     april_session.c:432-438). Jitted as one program — eager init would pay
-    one backend round-trip per op on remote TPU backends."""
+    one backend round-trip per op on remote TPU backends.
+
+    `out_shardings` (a pytree of NamedSharding matching the state tree)
+    materializes the state directly as global sharded arrays — required in
+    multi-process runs, where a host-local build followed by device_put
+    cannot reach non-addressable devices."""
+    weights = prog.rt.weights if weights is None else weights
+    build = functools.partial(engine_state_init_fn, prog)
+    return jax.jit(build, out_shardings=out_shardings)(weights)
+
+
+def engine_state_init_fn(prog: EngineProgram, w) -> Dict:
+    """Pure state-init body (also traced abstractly by the multi-process
+    engine to derive the state spec tree before any array exists)."""
     rt = prog.rt
     S = prog.batch
-    weights = rt.weights if weights is None else weights
-
-    @jax.jit
-    def build(w):
-        fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
-        dims = rt.dims
-        dstate = init_decode_state(
-            S, dims.context, max(dims.joiner_dim, 1), rt.blank_id, prog.dcfg
-        )
-        dstate["dout"] = rt.decoder_step(w, dstate["context"])
-        dstate["dout_init"] = jnp.ones(S, bool)
-        h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
-        c = jnp.zeros((rt.state_shapes[1][0], S, rt.state_shapes[1][1]), jnp.float32)
-        return {"fbank": fb, "h": h, "c": c, "decode": dstate}
-
-    return build(weights)
+    fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
+    dims = rt.dims
+    dstate = init_decode_state(
+        S, dims.context, max(dims.joiner_dim, 1), rt.blank_id, prog.dcfg
+    )
+    dstate["dout"] = rt.decoder_step(w, dstate["context"])
+    dstate["dout_init"] = jnp.ones(S, bool)
+    h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
+    c = jnp.zeros((rt.state_shapes[1][0], S, rt.state_shapes[1][1]), jnp.float32)
+    return {"fbank": fb, "h": h, "c": c, "decode": dstate}
 
 
 def build_engine(

@@ -1,0 +1,202 @@
+"""Real multi-process execution: 2 jax.distributed processes, one engine.
+
+Spawns two OS processes (4 virtual CPU devices each), brings up the JAX
+distributed runtime via `init_distributed`, builds one 8-device global mesh,
+and runs the batched serving engine with per-host audio staging restricted
+to `local_slot_range` — ingest never crosses hosts; GSPMD assembles the
+global step from per-process shards. Each host replays only its addressable
+event shards into its own slots.
+
+The combined callback streams from both hosts must equal a single-process
+run of the same engine on the same audio (the multihost path was previously
+untested logic — SURVEY.md §2.4 distributed backend)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+WORKER = r"""
+import json, os, sys
+
+port, pid_, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from april_asr_tpu.parallel import init_distributed, local_slot_range, make_mesh
+
+init_distributed(f"localhost:{port}", 2, pid_)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+import numpy as np
+
+from april_asr_tpu.engine import BatchEngine
+from april_asr_tpu.io.params import build_vocab_tables
+from april_asr_tpu.models import TransducerDims, init_transducer_params
+from april_asr_tpu.models.export import make_model_parameters
+from april_asr_tpu.models.loader import (
+    ModelRuntime, _fbank_opts_from_params, _native_runtime_fns,
+)
+from april_asr_tpu.testing import default_tokens
+
+DIMS = TransducerDims(
+    mel=80, segment_size=9, segment_step=4, d_model=32, hidden=64, ffn=64,
+    joiner_dim=32, vocab=64, layers=2, context=2, decoder_groups=8,
+    conv_channels=(4, 8, 8),
+)
+params = {
+    k: np.asarray(v)
+    for k, v in init_transducer_params(jax.random.PRNGKey(0), DIMS).items()
+}
+mp = make_model_parameters(DIMS, default_tokens(DIMS.vocab))
+enc, dec, joi = _native_runtime_fns(DIMS)
+rt = ModelRuntime(
+    name="mh", description="", language="en", params=mp,
+    fbank_opts=_fbank_opts_from_params(mp), vocab=build_vocab_tables(mp),
+    dims=DIMS, kind="native", weights=params, encoder_step=enc,
+    decoder_step=dec, joiner=joi,
+    state_shapes=((DIMS.layers, DIMS.d_model), (DIMS.layers, DIMS.hidden)),
+)
+
+S = 8
+mesh = make_mesh(model_parallel=1)
+eng = BatchEngine(rt, batch=S, mesh=mesh)
+lo, hi = local_slot_range(S, mesh)
+assert hi - lo == 4, (lo, hi)
+
+streams = [[] for _ in range(S)]
+
+
+def mk(i):
+    return lambda r, toks: streams[i].append(
+        (r, [[t.token_id, t.flags, t.time_ms] for t in toks])
+    )
+
+
+# every host allocates ALL slots in the same order: the per-slot state reset
+# is a collective jitted program, so allocation must run in lockstep
+for i in range(S):
+    eng.alloc(mk(i))
+
+rng = np.random.default_rng(3)
+audio = (rng.normal(0, 0.15, size=(S, 9600)) * 20000).astype(np.int16)
+for off in range(0, 9600, 3200):
+    for i in range(lo, hi):  # stage only the slots this host owns
+        eng.feed(i, audio[i, off : off + 3200])
+    while eng.tick():
+        pass
+eng.flush(np.ones(S, bool))
+
+with open(out_path, "w") as f:
+    json.dump({"pid": pid_, "lo": lo, "hi": hi, "streams": streams[lo:hi]}, f)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_engine_matches_single_process(tmp_path):
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER)
+    port = _free_port()
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs, outs = [], []
+    for pid_ in range(2):
+        out = tmp_path / f"out{pid_}.json"
+        outs.append(out)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker), str(port), str(pid_), str(out)],
+                cwd=REPO, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+        )
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        logs.append(stdout.decode(errors="replace"))
+    for p, log_text in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log_text[-4000:]}"
+
+    results = [json.load(open(o)) for o in outs]
+    results.sort(key=lambda r: r["pid"])
+    assert results[0]["lo"] == 0 and results[0]["hi"] == 4
+    assert results[1]["lo"] == 4 and results[1]["hi"] == 8
+    combined = results[0]["streams"] + results[1]["streams"]
+    assert all(len(s) > 0 for s in combined), "a host produced no callbacks"
+
+    # single-process reference on the same audio (8 local CPU devices here)
+    import jax
+
+    from april_asr_tpu.engine import BatchEngine
+    from april_asr_tpu.io.params import build_vocab_tables
+    from april_asr_tpu.models import TransducerDims, init_transducer_params
+    from april_asr_tpu.models.export import make_model_parameters
+    from april_asr_tpu.models.loader import (
+        ModelRuntime, _fbank_opts_from_params, _native_runtime_fns,
+    )
+    from april_asr_tpu.testing import default_tokens
+
+    DIMS = TransducerDims(
+        mel=80, segment_size=9, segment_step=4, d_model=32, hidden=64, ffn=64,
+        joiner_dim=32, vocab=64, layers=2, context=2, decoder_groups=8,
+        conv_channels=(4, 8, 8),
+    )
+    params = {
+        k: np.asarray(v)
+        for k, v in init_transducer_params(jax.random.PRNGKey(0), DIMS).items()
+    }
+    mp = make_model_parameters(DIMS, default_tokens(DIMS.vocab))
+    enc, dec, joi = _native_runtime_fns(DIMS)
+    rt = ModelRuntime(
+        name="mh", description="", language="en", params=mp,
+        fbank_opts=_fbank_opts_from_params(mp), vocab=build_vocab_tables(mp),
+        dims=DIMS, kind="native", weights=params, encoder_step=enc,
+        decoder_step=dec, joiner=joi,
+        state_shapes=((DIMS.layers, DIMS.d_model), (DIMS.layers, DIMS.hidden)),
+    )
+    S = 8
+    eng = BatchEngine(rt, batch=S)
+    ref = [[] for _ in range(S)]
+    for i in range(S):
+        eng.alloc(
+            lambda r, toks, i=i: ref[i].append(
+                (r, [[t.token_id, t.flags, t.time_ms] for t in toks])
+            )
+        )
+    rng = np.random.default_rng(3)
+    audio = (rng.normal(0, 0.15, size=(S, 9600)) * 20000).astype(np.int16)
+    for off in range(0, 9600, 3200):
+        for i in range(S):
+            eng.feed(i, audio[i, off : off + 3200])
+        while eng.tick():
+            pass
+    eng.flush(np.ones(S, bool))
+
+    ref_json = json.loads(json.dumps([[list(c) for c in s] for s in ref]))
+    for i in range(S):
+        assert combined[i] == ref_json[i], f"slot {i} diverged across hosts"
