@@ -26,6 +26,11 @@ RESULT_PARTIAL = 1
 RESULT_FINAL = 2
 RESULT_CANT_KEEP_UP = 3
 RESULT_SILENCE = 4
+# Framework extension (no reference analog — the reference aborts the whole
+# process on any backend error, ort_util.h:29-38): delivered to a session's
+# handler when its device state was lost to a contained engine failure and
+# reset; the session keeps running from fresh state.
+RESULT_SESSION_ERROR = 5
 
 
 @dataclasses.dataclass

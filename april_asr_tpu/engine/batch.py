@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DecodeConfig, EngineConfig
-from ..decode.scalar import RESULT_CANT_KEEP_UP, ScalarToken
+from ..decode.scalar import RESULT_CANT_KEEP_UP, RESULT_SESSION_ERROR, ScalarToken
 from ..models.loader import ModelRuntime
 from ..utils import logging as log
 from .replay import EventReplayer
@@ -174,7 +174,13 @@ class BatchEngine:
                 from ..parallel import local_slot_range
 
                 self._local_rows = local_slot_range(batch, mesh)
-        self._init_state = self.state  # kept on device as the reset template
+        # Reset template: an independent on-device COPY of the fresh state.
+        # Aliasing self.state here would hand the template's buffers to the
+        # step program's donation (donate_argnums=(1,)) on the first tick —
+        # harmless on CPU (no donation support) but a deleted-buffer crash
+        # on TPU at the first alloc-after-start.
+        self._copy_state = jax.jit(lambda t: jax.tree.map(jnp.copy, t))
+        self._init_state = self._copy_state(self.state)
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
         self._lock = threading.Lock()
@@ -202,6 +208,69 @@ class BatchEngine:
             return out
 
         self._reset_jit = _reset
+
+        if mesh is None:
+            scrub_shardings = None
+        else:
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            # replicated output: every host reads the full [S] verdict, so
+            # multi-process scrubs stay in lockstep
+            scrub_shardings = _NS(mesh, _P())
+
+        def _bad_slots(state):
+            h_ok = jnp.isfinite(state["h"]).all(axis=(0, 2))
+            c_ok = jnp.isfinite(state["c"]).all(axis=(0, 2))
+            d_ok = jnp.isfinite(state["decode"]["dout"]).all(axis=1)
+            return ~(h_ok & c_ok & d_ok)
+
+        self._scrub_jit = jax.jit(_bad_slots, out_shardings=scrub_shardings)
+
+    # -- failure containment ----------------------------------------------
+
+    def _recover(self, exc: Exception) -> None:
+        """Elastic recovery from a step/flush failure. The reference aborts
+        the whole process on any backend error (ort_util.h:29-38); here the
+        error is contained: device state is rebuilt from the init template
+        (the failed program may have consumed the donated state buffers),
+        every live session's handler receives SESSION_ERROR, staged audio is
+        dropped, and the engine keeps serving."""
+        log.error("engine program failed (%s: %s); recovering", type(exc).__name__, exc)
+        log.metrics.incr("engine_recoveries")
+        self.state = self._copy_state(self._init_state)
+        with self._lock:
+            for s in self.slots:
+                if s is None:
+                    continue
+                s.staged = np.zeros(0, np.int16)
+                s.was_flushed = False
+                s.replayer = EventReplayer(self.rt.params, s.handler)
+                log.metrics.incr("sessions_evicted")
+                s.handler(RESULT_SESSION_ERROR, [])
+
+    def scrub(self) -> int:
+        """Per-slot containment sweep for silent numerical corruption:
+        detects non-finite carried state (LSTM h/c, decoder output), resets
+        JUST those slots to the init template, and fires SESSION_ERROR to
+        their handlers — other sessions are untouched. Returns the number of
+        slots evicted. Serving loops may call this periodically; in
+        multi-process runs every host must call it in lockstep (the sweep
+        and the per-slot resets are collective programs)."""
+        with self._step_lock:
+            bad = np.asarray(self._scrub_jit(self.state))
+            n = 0
+            for i in np.nonzero(bad)[0]:
+                i = int(i)
+                s = self.slots[i]
+                self._reset_slot_state(i)
+                if s is not None:
+                    s.staged = np.zeros(0, np.int16)
+                    s.was_flushed = False
+                    s.replayer = EventReplayer(self.rt.params, s.handler)
+                    log.metrics.incr("sessions_evicted")
+                    s.handler(RESULT_SESSION_ERROR, [])
+                n += 1
+        return n
 
     # -- slot lifecycle ----------------------------------------------------
 
@@ -276,9 +345,13 @@ class BatchEngine:
 
         t0 = _time.perf_counter()
         with self._step_lock:
-            self.state, events = self.prog.step(
-                self.weights, self.state, self._put(audio), self._put(n)
-            )
+            try:
+                self.state, events = self.prog.step(
+                    self.weights, self.state, self._put(audio), self._put(n)
+                )
+            except Exception as e:
+                self._recover(e)
+                return False
         self._replay(events)
         dt = _time.perf_counter() - t0
         log.metrics.observe("tick_latency_s", dt)
@@ -326,9 +399,13 @@ class BatchEngine:
                         self.slots[i].was_flushed = True
             if not slot_mask.any():
                 return
-            self.state, events = self.prog.flush(
-                self.weights, self.state, self._put(slot_mask)
-            )
+            try:
+                self.state, events = self.prog.flush(
+                    self.weights, self.state, self._put(slot_mask)
+                )
+            except Exception as e:
+                self._recover(e)
+                return
         self._replay(events)
 
     # -- event replay ------------------------------------------------------
