@@ -86,3 +86,25 @@ class Model:
                 prog = build_engine(self._rt, batch, cfg, dcfg)
                 self._engines[key] = prog
             return prog
+
+    def _get_beam_program(
+        self,
+        batch: int,
+        beam: int,
+        cfg: Optional[EngineConfig] = None,
+    ):
+        """Cached compiled streaming-beam program (framework extension; see
+        engine/beam_engine.py)."""
+        from ..decode.beam import BeamConfig
+        from ..engine.beam_engine import build_beam_engine
+
+        cfg = cfg or EngineConfig()
+        key = (batch, cfg.chunk_samples, "beam", beam)
+        with self._lock:
+            prog = self._engines.get(key)
+            if prog is None:
+                prog = build_beam_engine(
+                    self._rt, batch, cfg, BeamConfig(beam=beam)
+                )
+                self._engines[key] = prog
+            return prog

@@ -63,7 +63,13 @@ class Session:
         asynchronous: bool = False,
         no_rt: bool = False,
         speaker_name: str = "",
+        beam: int = 0,
     ):
+        """`beam=K` (K >= 2) switches the session to streaming beam search
+        (framework extension — the reference is greedy-only): PARTIAL
+        callbacks report the best of K hypotheses, FINAL fires at flush.
+        Greedy-mode heuristics (silence events, confident-blank emits) do
+        not apply in beam mode."""
         if callback is None:
             # reference: april_session.c:81-85
             raise ValueError("a handler is required, please provide a handler")
@@ -72,20 +78,30 @@ class Session:
         self.asynchronous = asynchronous
         self.force_realtime = asynchronous and not no_rt
         self.speaker_name = speaker_name
+        self.beam = int(beam)
 
         rt = model.runtime
         self._params = rt.params
         # Each session gets its own batch-1 engine (reference isolation
         # semantics); the compiled program is shared via the Model cache.
-        self._engine = BatchEngine(
-            rt, batch=1, prog=model._get_program(batch=1)
-        )
+        if self.beam >= 2:
+            from ..engine.beam_engine import BeamEngine
+
+            self._engine = BeamEngine(
+                rt, batch=1, prog=model._get_beam_program(batch=1, beam=self.beam)
+            )
+        else:
+            self._engine = BatchEngine(
+                rt, batch=1, prog=model._get_program(batch=1)
+            )
         self._slot = self._engine.alloc(self._on_result)
         self._closed = False
         self._speed_needed = 1.0
         self._last_tick_audio_ms = 0.0
 
-        if speaker_name:
+        if speaker_name and self.beam < 2:
+            # speaker snapshots capture greedy decode state; beam-mode
+            # hypothesis state is reset per utterance and not snapshotted
             self._try_restore_speaker()
 
         self._queue: "queue.Queue[tuple]" = queue.Queue()
@@ -162,7 +178,7 @@ class Session:
         if self._worker is not None:
             self._queue.put(("stop",))
             self._worker.join(timeout=10.0)
-        if self.speaker_name:
+        if self.speaker_name and self.beam < 2:
             self._save_speaker()
         self._engine.free(self._slot)
         if self._ring is not None:

@@ -195,3 +195,87 @@ def test_batched_offline_engine_exact(trained):
     hyps = transcribe_files(model, [w for w, _ in trained["pairs"]], batch=4)
     refs = [ref for _, ref in trained["pairs"]]
     assert [h.strip() for h in hyps] == refs
+
+
+def test_streaming_beam_matches_offline_beam(trained):
+    """Streaming beam sessions (Session(beam=4)) must produce the exact
+    training transcripts AND agree with the offline beam search — on an
+    overfit model the two are word-identical despite the streaming path's
+    flush padding (chaotic random-weight models would diverge at the tail,
+    trained margins don't)."""
+    import jax.numpy as jnp
+
+    from april_asr_tpu.api import Model, Result, Session
+    from april_asr_tpu.decode.beam import BeamConfig, beam_search
+    from april_asr_tpu.frontend.oracle import logmel_frames
+    from april_asr_tpu.io.wav import read_wav
+    from april_asr_tpu.models.lstm_transducer import (
+        encoder_seq,
+        init_streaming_state,
+    )
+
+    model = Model(trained["native"])
+    rt = model.runtime
+    refs = [ref for _, ref in trained["pairs"]]
+
+    hyps = []
+    for wav, _ in trained["pairs"]:
+        samples, _ = read_wav(wav)
+        finals, partial = [], [""]
+
+        def handler(result, tokens):
+            text = "".join(t.token for t in tokens)
+            if result == Result.FINAL_RECOGNITION:
+                finals.append(text)
+            elif result == Result.PARTIAL_RECOGNITION:
+                partial[0] = text
+
+        sess = Session(model, handler, beam=4)
+        for off in range(0, len(samples), 3200):
+            sess.feed_pcm16(samples[off : off + 3200].tobytes())
+        sess.flush()
+        sess.close()
+        hyps.append((" ".join(finals) if finals else partial[0]).strip())
+    assert hyps == refs, f"\nhyp: {hyps}\nref: {refs}"
+
+    # offline beam on the first two utterances: same words
+    for wav, ref in trained["pairs"][:2]:
+        samples, _ = read_wav(wav)
+        mel = logmel_frames(rt.fbank_opts, samples.astype(np.float32) / 32768.0)
+        dims = rt.dims
+        h, c = init_streaming_state(dims, 1)
+        eouts, _, _ = encoder_seq(rt.weights, jnp.asarray(mel)[None], h, c, dims)
+        toks, lens, _ = beam_search(
+            rt.weights, eouts, jnp.ones((1, eouts.shape[1]), bool),
+            rt.decoder_step, rt.joiner, dims.context, rt.blank_id,
+            BeamConfig(beam=4),
+        )
+        text = "".join(
+            rt.params.token_str(int(t)) for t in np.asarray(toks[0][: int(lens[0])])
+        ).strip()
+        assert text == ref, f"offline beam {text!r} != {ref!r}"
+
+
+def test_conformer_trained_exact_transcripts(tmp_path_factory):
+    """The Conformer family closes the same accuracy loop: april-train
+    --arch conformer overfits the tone corpus and the serving engine decodes
+    the exact training transcripts from the exported native .april
+    (reference has no conformer; SURVEY.md stretch family)."""
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.cli.train import main as train_main
+
+    tmp_path = tmp_path_factory.mktemp("trained_conf")
+    manifest, pairs = _write_corpus(tmp_path)
+    april = tmp_path / "conf.april"
+    rc = train_main([
+        "--manifest", str(manifest), "--out-dir", str(tmp_path / "exp"),
+        "--preset", "tiny", "--arch", "conformer", "--steps", "300",
+        "--batch", "6", "--lr", "3e-3", "--warmup-steps", "20",
+        "--ckpt-every", "0", "--export", str(april), "--export-form", "native",
+    ])
+    assert rc == 0
+    model = Model(str(april))
+    assert type(model.runtime.dims).__name__ == "ConformerDims"
+    hyps = _decode_all(model, pairs)
+    refs = [ref for _, ref in pairs]
+    assert hyps == refs, f"\nhyp: {hyps}\nref: {refs}"
