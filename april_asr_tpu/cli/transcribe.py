@@ -104,6 +104,14 @@ def main(argv=None) -> int:
         "0 = streaming greedy, the reference behavior)",
     )
     ap.add_argument(
+        "--streaming-beam",
+        type=int,
+        default=0,
+        help="STREAMING beam search with this width: live PARTIAL callbacks "
+        "report the best of K hypotheses (Session(beam=K)); works with "
+        "wav/stdin/zeros inputs",
+    )
+    ap.add_argument(
         "--list", action="store_true",
         help="treat the input as a text file listing wav paths (one per "
         "line, optionally '<path>\\t...'); decodes them CONCURRENTLY on the "
@@ -149,7 +157,11 @@ def main(argv=None) -> int:
         elif result == Result.SILENCE and not args.quiet:
             pass
 
-    session = Session(model, handler)
+    session = (
+        Session(model, handler, beam=args.streaming_beam)
+        if args.streaming_beam >= 2
+        else Session(model, handler)
+    )
 
     if args.wav == "?":
         # zeros smoke test (example.cpp:151-156)

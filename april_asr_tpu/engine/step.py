@@ -254,6 +254,18 @@ def build_engine(
             use_chunk = rt.encoder_chunk is not None and (
                 rt.encoder_chunk_max_pulls is None or P <= rt.encoder_chunk_max_pulls
             )
+            if rt.encoder_chunk is not None and not use_chunk:
+                from ..utils import logging as _log
+
+                # visible, not silent: large chunks on attention models drop
+                # to the slower per-pull recurrent path when P exceeds the
+                # attention context (VERDICT: this fallback must be loggable)
+                _log.warning(
+                    "engine: chunk of %d pulls exceeds encoder_chunk_max_pulls"
+                    "=%d; using the per-pull recurrent path (slower). Reduce "
+                    "chunk_samples or raise the attention context.",
+                    P, rt.encoder_chunk_max_pulls,
+                )
             if use_chunk:
                 # non-frame-recurrent encoder (Conformer family): every pull
                 # advances through each layer in ONE pass — one KV-ring

@@ -1,6 +1,7 @@
 from .mesh import make_mesh, param_specs, shard_batch, shard_params, state_spec_tree
 from .multihost import init_distributed, local_slot_range
 from .pipeline import pipeline_encoder_seq, stage_param_specs
+from .ulysses import conformer_encoder_seq_sp
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "local_slot_range",
     "pipeline_encoder_seq",
     "stage_param_specs",
+    "conformer_encoder_seq_sp",
 ]
