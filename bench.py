@@ -109,7 +109,14 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     )
 
 
-def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: float = 0.2):
+def bench_batch(
+    rt,
+    S: int,
+    steps: int = 20,
+    warmup: int = 3,
+    chunk_seconds: float = 0.2,
+    interim=None,
+):
     """Returns (audio_seconds_per_second, step_ms, events_per_step).
 
     The dispatch loop is pipelined with lag-1 event readback: step k+1 is
@@ -199,16 +206,24 @@ def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: flo
             t_now = time.perf_counter()
             durs.append(t_now - t_iter)
             t_iter = t_now
+            # salvage path: a transport stall or parent-side timeout must not
+            # lose the config — report the running medians every few steps
+            if interim is not None and len(durs) >= 2 and (i + 1) % 3 == 0:
+                interim(durs, lat, n_events, i + 1)
         n_events += replay(prev)
         lat.append(time.perf_counter() - t_disp)
         dt = time.perf_counter() - t0
 
+    return _stats(audio_s_per_step, durs, lat, n_events, steps, dt)
+
+
+def _stats(audio_s_per_step, durs, lat, n_events, steps, dt):
     # Median step time is the throughput basis: the remote TPU service here
     # intermittently stalls a single dispatch for seconds-to-minutes, which
     # says nothing about the chip's steady-state rate. The mean is reported
     # alongside so stalls stay visible.
     step_ms = float(np.median(durs)) * 1000.0
-    mean_ms = dt / steps * 1000.0
+    mean_ms = dt / max(steps, 1) * 1000.0
     # Latency percentiles over STALL-FREE windows: a dispatch that the remote
     # service wedges for seconds-to-minutes is a transport artifact, not an
     # SLA property of the engine; mixing it into p99 makes the number
@@ -223,7 +238,7 @@ def bench_batch(rt, S: int, steps: int = 20, warmup: int = 3, chunk_seconds: flo
     return (
         audio_s_per_step / (step_ms / 1000.0),
         step_ms,
-        n_events / steps,
+        n_events / max(steps, 1),
         (p50, p99, len(stalls), max(stalls) * 1000.0 if stalls else 0.0),
         mean_ms,
     )
@@ -238,14 +253,26 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
 
         jax.config.update("jax_platforms", plat)
     rt = build_runtime(arch=arch)
-    thr, step_ms, evps, (p50, p99, n_stalls, max_stall), mean_ms = bench_batch(
-        rt, S, steps=steps, chunk_seconds=chunk_s
+    audio_s_per_step = S * chunk_s
+
+    def pack(res, done):
+        thr, step_ms, evps, (p50, p99, n_stalls, max_stall), mean_ms = res
+        return {
+            "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
+            "evps": evps, "p50": p50, "p99": p99, "mean_ms": mean_ms,
+            "stalls": n_stalls, "max_stall_ms": max_stall, "steps_done": done,
+        }
+
+    def interim(durs, lat, n_events, done):
+        # printed + flushed so a parent-side timeout can still salvage a
+        # measured number for this config from the last interim line
+        r = pack(_stats(audio_s_per_step, durs, lat, n_events, done, sum(durs)), done)
+        print(json.dumps(r), flush=True)
+
+    res = bench_batch(
+        rt, S, steps=steps, chunk_seconds=chunk_s, interim=interim
     )
-    return {
-        "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
-        "evps": evps, "p50": p50, "p99": p99, "mean_ms": mean_ms,
-        "stalls": n_stalls, "max_stall_ms": max_stall,
-    }
+    return pack(res, steps)
 
 
 def _run_one_subprocess(S: int, chunk_s: float, timeout_s: float) -> dict | None:
@@ -262,21 +289,29 @@ def _run_one_subprocess(S: int, chunk_s: float, timeout_s: float) -> dict | None
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
     _child = proc
+    timed_out = False
     try:
         out, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        timed_out = True
         proc.kill()
-        proc.wait()
-        print(f"# config ({S},{chunk_s}) timed out after {timeout_s:.0f}s", file=sys.stderr)
-        return None
+        out, _ = proc.communicate()  # salvage buffered interim lines
+        print(
+            f"# config ({S},{chunk_s}) timed out after {timeout_s:.0f}s"
+            " (salvaging interim measurements)",
+            file=sys.stderr,
+        )
     finally:
         _child = None
-    if proc.returncode != 0:
+    if not timed_out and proc.returncode != 0:
         print(f"# config ({S},{chunk_s}) exited {proc.returncode}", file=sys.stderr)
         return None
-    for line in out.decode().splitlines()[::-1]:
+    for line in (out or b"").decode(errors="replace").splitlines()[::-1]:
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            if timed_out:
+                r["timed_out"] = True
+            return r
     print(f"# config ({S},{chunk_s}) produced no result line", file=sys.stderr)
     return None
 
