@@ -51,7 +51,7 @@ class _Server(socketserver.ThreadingTCPServer):
 
     def __init__(
         self, addr, handler_cls, engine, params, model_info=None,
-        profile_dir=None, profile_ticks=50,
+        profile_dir=None, profile_ticks=50, scrub_every=0.0,
     ):
         super().__init__(addr, handler_cls)
         self.engine = engine
@@ -61,6 +61,8 @@ class _Server(socketserver.ThreadingTCPServer):
         }
         self._profile_dir = profile_dir
         self._profile_ticks = profile_ticks
+        self._scrub_every = scrub_every
+        self._last_scrub = time.monotonic()
         self._prof = None
         self._prof_lock = threading.Lock()
         self._tick_thread = threading.Thread(target=self._tick_loop, daemon=True)
@@ -96,6 +98,13 @@ class _Server(socketserver.ThreadingTCPServer):
                 traced += 1
                 if traced >= self._profile_ticks:
                     self._stop_profile()
+            if self._scrub_every > 0:
+                now = time.monotonic()
+                if now - self._last_scrub >= self._scrub_every:
+                    self._last_scrub = now
+                    # per-slot containment sweep (elastic serving): evicts
+                    # sessions whose carried state went non-finite
+                    self.engine.scrub()
 
 
 class _Handler(socketserver.BaseRequestHandler):
@@ -223,6 +232,12 @@ def main(argv=None) -> int:
         "--profile-ticks", type=int, default=50,
         help="non-idle ticks to trace before finalizing --profile-dir",
     )
+    ap.add_argument(
+        "--scrub-every", type=float, default=30.0,
+        help="seconds between per-slot non-finite state sweeps (elastic "
+        "serving: poisoned sessions are evicted with SESSION_ERROR and "
+        "reset; 0 disables)",
+    )
     args = ap.parse_args(argv)
 
     from ..api import Model
@@ -248,6 +263,7 @@ def main(argv=None) -> int:
         model.runtime.params,
         profile_dir=args.profile_dir,
         profile_ticks=args.profile_ticks,
+        scrub_every=args.scrub_every,
         model_info={
             "name": model.get_name(),
             "description": model.get_description(),
