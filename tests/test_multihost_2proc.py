@@ -119,6 +119,9 @@ def test_two_process_engine_matches_single_process(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker script lives in tmp_path, so Python puts THAT dir (not the
+    # cwd) on sys.path — the repo must be importable explicitly
+    env["PYTHONPATH"] = os.path.abspath(REPO) + os.pathsep + env.get("PYTHONPATH", "")
     procs, outs = [], []
     for pid_ in range(2):
         out = tmp_path / f"out{pid_}.json"
