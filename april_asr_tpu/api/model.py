@@ -36,6 +36,32 @@ def _enable_compile_cache() -> None:
         log.debug("compilation cache unavailable: %s", e)
 
 
+def apply_precision(weights, precision: str):
+    """Apply a serving precision policy to a weights pytree: "f32" (no-op),
+    "bf16" (cast matrices), or "int8" (bf16 + per-channel int8 quantization
+    of the encoder layer matrices, which the engine's matmul paths pick up
+    automatically)."""
+    from ..models.lstm_transducer import cast_weights, quantize_weights
+
+    if precision in (None, "", "f32", "float32"):
+        return weights
+    if precision in ("bf16", "bfloat16"):
+        import jax.numpy as jnp
+
+        return cast_weights(weights, jnp.bfloat16)
+    if precision == "int8":
+        import jax.numpy as jnp
+
+        w = quantize_weights(weights)  # quantizes from the f32 originals
+        if not any(k.endswith("_q8") for k in w):
+            log.warning(
+                "precision=int8: no quantizable encoder matrices found for "
+                "this model family; serving with bf16 numerics"
+            )
+        return cast_weights(w, jnp.bfloat16)
+    raise ValueError(f"unknown precision {precision!r} (f32 | bf16 | int8)")
+
+
 class Model:
     """A loaded `.april` speech-to-text model.
 
@@ -44,9 +70,23 @@ class Model:
     share weights on device.
     """
 
-    def __init__(self, path: str | os.PathLike, prefer_native: bool = True):
+    def __init__(
+        self,
+        path: str | os.PathLike,
+        prefer_native: bool = True,
+        precision: Optional[str] = None,
+    ):
+        """`precision` selects the serving numerics: "f32" (as loaded),
+        "bf16" (cast matrix weights, f32 accumulation — the recommended
+        default for TPUs), or "int8" (bf16 plus per-channel int8 encoder
+        matmuls on the MXU's 2x-rate int8 mode; see
+        models/lstm_transducer.quantize_weights). Defaults to the
+        APRIL_PRECISION env var, else the weights' stored dtype."""
         _enable_compile_cache()
         self._rt: ModelRuntime = load_model(path, prefer_native=prefer_native)
+        precision = precision or os.environ.get("APRIL_PRECISION")
+        if precision:
+            self._rt.weights = apply_precision(self._rt.weights, precision)
         # Shared engines keyed by (batch, chunk) — sessions attach to slots.
         self._engines: Dict[Tuple[int, int], object] = {}
         self._lock = threading.Lock()

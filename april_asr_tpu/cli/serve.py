@@ -233,6 +233,12 @@ def main(argv=None) -> int:
         help="non-idle ticks to trace before finalizing --profile-dir",
     )
     ap.add_argument(
+        "--precision", default=None, choices=["f32", "bf16", "int8"],
+        help="serving numerics: f32 (as stored), bf16 (cast matrices), "
+        "int8 (bf16 + per-channel int8 encoder matmuls on the MXU's "
+        "2x-rate int8 mode); defaults to APRIL_PRECISION or the stored dtype",
+    )
+    ap.add_argument(
         "--scrub-every", type=float, default=30.0,
         help="seconds between per-slot non-finite state sweeps (elastic "
         "serving: poisoned sessions are evicted with SESSION_ERROR and "
@@ -243,7 +249,7 @@ def main(argv=None) -> int:
     from ..api import Model
     from ..engine.batch import BatchEngine
 
-    model = Model(args.model)
+    model = Model(args.model, precision=args.precision)
     mesh = None
     if args.mesh or args.model_parallel > 1:
         from ..parallel import make_mesh

@@ -29,7 +29,7 @@ def _beam_transcribe(args) -> int:
     if args.wav in ("-", "?"):
         print("error: --beam requires a wav file input", file=sys.stderr)
         return 1
-    model = Model(args.model)
+    model = Model(args.model, precision=args.precision)
     rt = model.runtime
     if rt.kind != "native":
         print(
@@ -82,7 +82,7 @@ def _list_transcribe(args) -> int:
     if not paths:
         print("error: empty list file", file=sys.stderr)
         return 1
-    model = Model(args.model)
+    model = Model(args.model, precision=args.precision)
     texts = transcribe_files(model, paths, batch=args.batch)
     for p, t in zip(paths, texts):
         print(f"{p}\t{t}")
@@ -121,6 +121,10 @@ def main(argv=None) -> int:
         "--batch", type=int, default=32,
         help="concurrent utterances per engine group in --list mode",
     )
+    ap.add_argument(
+        "--precision", default=None, choices=["f32", "bf16", "int8"],
+        help="serving numerics (see april-serve --precision)",
+    )
     args = ap.parse_args(argv)
 
     if args.list:
@@ -130,7 +134,7 @@ def main(argv=None) -> int:
 
     from ..api import Model, Result, Session
 
-    model = Model(args.model)
+    model = Model(args.model, precision=args.precision)
     rate = model.get_sample_rate()
     print(
         f"Model: {model.get_name()} [{model.get_language()}] @ {rate} Hz",

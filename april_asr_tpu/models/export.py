@@ -26,7 +26,7 @@ from ..io.container import (
 from ..io.onnx_build import build_transducer_graphs
 from ..io.params import ModelParameters
 from ..io.safetensors import save_safetensors_bytes
-from .lstm_transducer import DERIVED_KEYS, TransducerDims
+from .lstm_transducer import TransducerDims, is_derived
 
 
 def make_model_parameters(
@@ -68,7 +68,7 @@ def save_april(
     form="native": framework-native (type 64, safetensors payload).
     """
     np_params = {
-        k: np.asarray(v) for k, v in params.items() if k not in DERIVED_KEYS
+        k: np.asarray(v) for k, v in params.items() if not is_derived(k)
     }
     from .conformer import ConformerDims
 

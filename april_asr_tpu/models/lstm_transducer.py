@@ -66,6 +66,16 @@ Params = Dict[str, jnp.ndarray]
 # checkpointed, or exported.
 DERIVED_KEYS = frozenset({"dec_table"})
 
+# Encoder layer matrices eligible for int8 quantization (quantize_weights).
+QUANT_TARGETS = ("w_ih_t", "w_hh_t", "w_hr_t", "ff1_t", "ff2_t")
+
+
+def is_derived(key: str) -> bool:
+    """True for inference-only derived params (decoder tables, int8
+    quantized copies + scales) that must never be trained, checkpointed,
+    exported, or dtype-cast."""
+    return key in DERIVED_KEYS or key.endswith("_q8") or key.endswith("_q8s")
+
 
 def init_transducer_params(
     rng: jax.Array, dims: TransducerDims, dtype=jnp.float32
@@ -134,11 +144,60 @@ def cast_weights(params: Params, dtype) -> Params:
     """
     out = {}
     for k, v in params.items():
-        if v.ndim >= 2 and k not in DERIVED_KEYS and v.dtype == jnp.float32:
+        if v.ndim >= 2 and not is_derived(k) and v.dtype == jnp.float32:
             out[k] = v.astype(dtype)
         else:
             out[k] = v
     return out
+
+
+def quantize_weights(params: Params) -> Params:
+    """Add per-output-channel symmetric int8 copies of the encoder layer
+    matrices (`<name>_q8` int8 values + `<name>_q8s` f32 column scales).
+
+    This is the int8 quantized SERVING path: the v5e MXU runs int8 x int8 ->
+    int32 at ~2x its bf16 rate, and the 12-layer encoder is ~98% of the
+    engine step's FLOPs. Activations are quantized dynamically per row at
+    matmul time (see `_q8_mm` / ops/lstm_pallas._rowq8); accumulation is
+    exact int32, dequantized to f32 before every nonlinearity, and the LSTM
+    cell state stays f32 — so quantization error does not compound across
+    the stream. Originals are kept alongside for training/export and the
+    conv-embed/decoder/joiner (negligible FLOPs, stay bf16/f32).
+
+    Call AFTER precompute_decoder_tables and BEFORE/AFTER cast_weights
+    (quantization always reads the originals in f32)."""
+    out = dict(params)
+    for name in QUANT_TARGETS:
+        if name not in params or name + "_q8" in params:
+            continue
+        w = params[name].astype(jnp.float32)
+        # [L, in, out]: amax over the contraction (input) axis -> [L, 1, out]
+        amax = jnp.max(jnp.abs(w), axis=-2, keepdims=True)
+        s = jnp.maximum(amax, 1e-12) * (1.0 / 127.0)
+        out[name + "_q8"] = jnp.round(w / s).astype(jnp.int8)
+        out[name + "_q8s"] = s
+    return out
+
+
+def is_quantized(params: Params) -> bool:
+    return "w_ih_t_q8" in params
+
+
+def _q8_rows(x):
+    """Dynamic per-row symmetric int8 activation quantization (XLA form,
+    numerically identical to ops/lstm_pallas._rowq8)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.round(x * (1.0 / s)).astype(jnp.int8)
+    return q, s
+
+
+def _q8_mm(x, wq, ws):
+    """int8 dynamic-activation matmul with exact int32 accumulation:
+    x f32 [m, k] @ (wq int8 [k, n] * ws [1, n]) -> f32 [m, n]."""
+    q, s = _q8_rows(x.astype(jnp.float32))
+    acc = jnp.dot(q, wq, preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (s * ws)
 
 
 def _mm(x, w):
@@ -219,6 +278,37 @@ def _lstm_stack_step_pallas(
     return y, h_new, c_new
 
 
+def _lstm_stack_step_pallas_q8(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, block_s: int,
+    gate=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    from ..ops.lstm_pallas import lstm_layer_fused_i8
+
+    interpret = jax.default_backend() != "tpu"
+
+    def layer(x, scan_in):
+        (wihq, wihs, whhq, whhs, bias, whrq, whrs,
+         ff1q, ff1s, ff1_b, ff2q, ff2s, ff2_b, eps, h_l, c_l) = scan_in
+        y, h_new, c_new = lstm_layer_fused_i8(
+            x, h_l, c_l, wihq, wihs, whhq, whhs, bias, whrq, whrs,
+            ff1q, ff1s, ff1_b, ff2q, ff2s, ff2_b, eps, gate,
+            block_s=block_s, interpret=interpret,
+        )
+        return y, (h_new, c_new)
+
+    scan_ins = (
+        params["w_ih_t_q8"], params["w_ih_t_q8s"],
+        params["w_hh_t_q8"], params["w_hh_t_q8s"],
+        params["bias"],
+        params["w_hr_t_q8"], params["w_hr_t_q8s"],
+        params["ff1_t_q8"], params["ff1_t_q8s"], params["ff1_b"],
+        params["ff2_t_q8"], params["ff2_t_q8s"], params["ff2_b"],
+        params["norm_eps"], h, c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
+    return y, h_new, c_new
+
+
 def _lstm_stack_step(
     params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -238,7 +328,11 @@ def _lstm_stack_step(
         ffn = params["ff1_t"].shape[2]
         block_s = _pick_block_s(S)
         if block_s and supported_dims(S, d, hidden, ffn, block_s):
+            if is_quantized(params):
+                return _lstm_stack_step_pallas_q8(params, x, h, c, block_s, gate)
             return _lstm_stack_step_pallas(params, x, h, c, block_s, gate)
+    if is_quantized(params):
+        return _lstm_stack_step_q8(params, x, h, c, gate)
 
     def layer(x, scan_in):
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
@@ -270,6 +364,52 @@ def _lstm_stack_step(
         params["norm_eps"],
         h,
         c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
+    return y, h_new, c_new
+
+
+def _lstm_stack_step_q8(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """int8-quantized `_lstm_stack_step` (XLA path; used for the per-pull /
+    flush path and as the small-dims fallback — the chunk hot loop has a
+    fused Pallas int8 kernel). Numerics match the kernel: same per-row
+    activation quantization, exact int32 accumulation."""
+
+    def layer(x, scan_in):
+        (wihq, wihs, whhq, whhs, bias, whrq, whrs,
+         ff1q, ff1s, ff1_b, ff2q, ff2s, ff2_b, eps, h_l, c_l) = scan_in
+        gates = (
+            _q8_mm(x, wihq, wihs)
+            + _q8_mm(h_l, whhq, whhs)
+            + bias.astype(jnp.float32)
+        )
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        # cell state stays f32 (streaming error must not compound)
+        c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        h_new = _q8_mm(hc, whrq, whrs)
+
+        y = x + h_new  # residual LSTM
+        mid = _double_swish(_q8_mm(y, ff1q, ff1s) + ff1_b.astype(jnp.float32))
+        ff = _q8_mm(mid, ff2q, ff2s) + ff2_b.astype(jnp.float32)
+        y = _basic_norm(y + ff, eps.astype(jnp.float32))
+        if gate is not None:
+            m = gate[:, None]
+            h_new = jnp.where(m, h_new, h_l)
+            c_new = jnp.where(m, c_new, c_l)
+        return y, (h_new, c_new)
+
+    scan_ins = (
+        params["w_ih_t_q8"], params["w_ih_t_q8s"],
+        params["w_hh_t_q8"], params["w_hh_t_q8s"],
+        params["bias"],
+        params["w_hr_t_q8"], params["w_hr_t_q8s"],
+        params["ff1_t_q8"], params["ff1_t_q8s"], params["ff1_b"],
+        params["ff2_t_q8"], params["ff2_t_q8s"], params["ff2_b"],
+        params["norm_eps"],
+        h, c,
     )
     y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
     return y, h_new, c_new
@@ -317,6 +457,8 @@ def _lstm_stack_chunk(
             and supported_dims(S, d, hidden, ffn, block_s)
         ):
             return _lstm_stack_chunk_pallas(params, y, h, c, gate, block_s)
+    if is_quantized(params):
+        return _lstm_stack_chunk_q8(params, y, h, c, gate)
 
     def layer(x, scan_in):
         (w_ih_t, w_hh_t, bias, w_hr_t, ff1_t, ff1_b, ff2_t, ff2_b, eps, h_l, c_l) = scan_in
@@ -375,22 +517,37 @@ def _lstm_stack_chunk_pallas(
     those slices into the pallas custom-call's operands on scoped VMEM —
     which OOMs its 16 MB stack at serving shapes. Static per-layer slices
     stay plain HBM tensors. 12 unrolled pallas calls also compile fine."""
-    from ..ops.lstm_pallas import lstm_layer_chunk_fused
+    from ..ops.lstm_pallas import lstm_layer_chunk_fused, lstm_layer_chunk_fused_i8
 
     interpret = jax.default_backend() != "tpu"
     n_pulls = None if gate is None else jnp.sum(gate.astype(jnp.int32), axis=0)
 
     L = params["w_ih_t"].shape[0]
+    q8 = is_quantized(params)
     hs, cs = [], []
     for l in range(L):
-        y, h_new, c_new = lstm_layer_chunk_fused(
-            y, h[l], c[l],
-            params["w_ih_t"][l], params["w_hh_t"][l], params["bias"][l],
-            params["w_hr_t"][l], params["ff1_t"][l], params["ff1_b"][l],
-            params["ff2_t"][l], params["ff2_b"][l], params["norm_eps"][l],
-            n_pulls,
-            block_s=block_s, interpret=interpret,
-        )
+        if q8:
+            y, h_new, c_new = lstm_layer_chunk_fused_i8(
+                y, h[l], c[l],
+                params["w_ih_t_q8"][l], params["w_ih_t_q8s"][l],
+                params["w_hh_t_q8"][l], params["w_hh_t_q8s"][l],
+                params["bias"][l],
+                params["w_hr_t_q8"][l], params["w_hr_t_q8s"][l],
+                params["ff1_t_q8"][l], params["ff1_t_q8s"][l], params["ff1_b"][l],
+                params["ff2_t_q8"][l], params["ff2_t_q8s"][l], params["ff2_b"][l],
+                params["norm_eps"][l],
+                n_pulls,
+                block_s=block_s, interpret=interpret,
+            )
+        else:
+            y, h_new, c_new = lstm_layer_chunk_fused(
+                y, h[l], c[l],
+                params["w_ih_t"][l], params["w_hh_t"][l], params["bias"][l],
+                params["w_hr_t"][l], params["ff1_t"][l], params["ff1_b"][l],
+                params["ff2_t"][l], params["ff2_b"][l], params["norm_eps"][l],
+                n_pulls,
+                block_s=block_s, interpret=interpret,
+            )
         # keep XLA from fusing the inter-layer stack/concat into the pallas
         # custom call — that fusion allocates the kernel outputs on the
         # 16 MB scoped-vmem stack and OOMs at serving shapes
@@ -398,6 +555,68 @@ def _lstm_stack_chunk_pallas(
         hs.append(h_new)
         cs.append(c_new)
     return y, jnp.stack(hs), jnp.stack(cs)
+
+
+def _lstm_stack_chunk_q8(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """int8-quantized `_lstm_stack_chunk` (XLA path; small dims / non-TPU /
+    TP fallback). Same structure: batched input-side gates + FFN, recurrent
+    half inside the time scan — all matmuls int8 with exact int32
+    accumulation (see quantize_weights)."""
+    P, S, d = y.shape
+
+    def layer(x, scan_in):
+        (wihq, wihs, whhq, whhs, bias, whrq, whrs,
+         ff1q, ff1s, ff1_b, ff2q, ff2s, ff2_b, eps, h_l, c_l) = scan_in
+        # bias added inside the step (after both matmuls) so the f32 add
+        # order matches `_lstm_stack_step_q8` / the Pallas i8 kernel exactly:
+        # int32 accumulation is exact, so matching add order makes the three
+        # int8 implementations agree to the last f32 ulp
+        gx = _q8_mm(x.reshape(P * S, d), wihq, wihs).reshape(P, S, -1)
+
+        def tstep(carry, xs):
+            h_t, c_t = carry
+            gx_t = xs[0]
+            gates = gx_t + _q8_mm(h_t, whhq, whhs) + bias.astype(jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            # cell state stays f32 (streaming error must not compound)
+            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            h_new = _q8_mm(hc, whrq, whrs)
+            if gate is not None:
+                m = xs[1][:, None]
+                h_keep = jnp.where(m, h_new, h_t)
+                c_keep = jnp.where(m, c_new, c_t)
+            else:
+                h_keep, c_keep = h_new, c_new
+            return (h_keep, c_keep), h_new
+
+        xs = (gx,) if gate is None else (gx, gate)
+        (h_fin, c_fin), h_seq = jax.lax.scan(tstep, (h_l, c_l), xs)
+        yr = x + h_seq  # residual LSTM, batched over P
+        mid = _double_swish(
+            _q8_mm(yr.reshape(P * S, d), ff1q, ff1s).reshape(P, S, -1)
+            + ff1_b.astype(jnp.float32)
+        )
+        ff = _q8_mm(mid.reshape(P * S, -1), ff2q, ff2s).reshape(
+            P, S, d
+        ) + ff2_b.astype(jnp.float32)
+        yn = _basic_norm(yr + ff, eps.astype(jnp.float32))
+        return yn, (h_fin, c_fin)
+
+    scan_ins = (
+        params["w_ih_t_q8"], params["w_ih_t_q8s"],
+        params["w_hh_t_q8"], params["w_hh_t_q8s"],
+        params["bias"],
+        params["w_hr_t_q8"], params["w_hr_t_q8s"],
+        params["ff1_t_q8"], params["ff1_t_q8s"], params["ff1_b"],
+        params["ff2_t_q8"], params["ff2_t_q8s"], params["ff2_b"],
+        params["norm_eps"],
+        h, c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, y, scan_ins)
+    return y, h_new, c_new
 
 
 def encoder_chunk(

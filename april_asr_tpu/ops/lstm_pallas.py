@@ -289,6 +289,414 @@ def lstm_layer_chunk_fused(
     return y, h2, c2
 
 
+def _rowq8(x):
+    """Dynamic per-row symmetric int8 quantization (VPU): f32 [m, k] ->
+    (int8 values, f32 per-row scale [m, 1]). The scale is amax/127 so the
+    int8 range is fully used; rows of zeros get a harmless tiny scale."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    q = jnp.round(x * (1.0 / s)).astype(jnp.int8)
+    return q, s
+
+
+def _layer_kernel_i8(
+    gated,
+    x_ref,
+    h_ref,
+    c_ref,
+    gate_ref,
+    wih_ref,
+    wih_s_ref,
+    whh_ref,
+    whh_s_ref,
+    b_ref,
+    whr_ref,
+    whr_s_ref,
+    ff1_ref,
+    ff1_s_ref,
+    f1b_ref,
+    ff2_ref,
+    ff2_s_ref,
+    f2b_ref,
+    eps_ref,
+    y_ref,
+    h2_ref,
+    c2_ref,
+):
+    """int8 variant of `_layer_kernel` (single-timestep layer step): the
+    per-pull / flush path's kernel when the weights are quantized. Same
+    quantization scheme as `_chunk_kernel_i8`."""
+    x = x_ref[:].astype(jnp.float32)
+    H = c_ref.shape[1]
+
+    xq, xs = _rowq8(x)
+    hq, hs = _rowq8(h_ref[:])
+    gates = (
+        jnp.dot(xq, wih_ref[:], preferred_element_type=jnp.int32).astype(jnp.float32)
+        * (xs * wih_s_ref[:])
+        + jnp.dot(hq, whh_ref[:], preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        * (hs * whh_s_ref[:])
+        + b_ref[:].astype(jnp.float32)
+    )
+    i = gates[:, :H]
+    f = gates[:, H : 2 * H]
+    g = gates[:, 2 * H : 3 * H]
+    o = gates[:, 3 * H :]
+    # cell state stays f32 (streaming error must not compound)
+    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
+    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    hcq, hcs = _rowq8(hc)
+    h_new = jnp.dot(hcq, whr_ref[:], preferred_element_type=jnp.int32).astype(
+        jnp.float32
+    ) * (hcs * whr_s_ref[:])
+
+    y = x + h_new  # residual LSTM
+    yq, ys = _rowq8(y)
+    mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
+        jnp.float32
+    ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
+    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    mq, ms = _rowq8(mid)
+    ff = jnp.dot(mq, ff2_ref[:], preferred_element_type=jnp.int32).astype(
+        jnp.float32
+    ) * (ms * ff2_s_ref[:]) + f2b_ref[:].astype(jnp.float32)
+    yn = y + ff
+    y_ref[:] = yn * jax.lax.rsqrt(
+        jnp.mean(yn * yn, axis=-1, keepdims=True) + eps_ref[0]
+    )
+    if gated:
+        gt = gate_ref[:]
+        h2_ref[:] = gt * h_new + (1.0 - gt) * h_ref[:]
+        c2_ref[:] = gt * c_new + (1.0 - gt) * c_ref[:]
+    else:
+        h2_ref[:] = h_new
+        c2_ref[:] = c_new
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def lstm_layer_fused_i8(
+    x,
+    h,
+    c,
+    w_ih_q,
+    w_ih_s,
+    w_hh_q,
+    w_hh_s,
+    bias,
+    w_hr_q,
+    w_hr_s,
+    ff1_q,
+    ff1_s,
+    ff1_b,
+    ff2_q,
+    ff2_s,
+    ff2_b,
+    eps,
+    gate=None,
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """One fused int8 layer step (contract of `lstm_layer_fused`, quantized
+    weights as in `lstm_layer_chunk_fused_i8`)."""
+    S, d = x.shape
+    hidden = c.shape[1]
+    ffn = ff1_q.shape[1]
+    grid = (S // block_s,)
+
+    def row(i):
+        return (i, 0)
+
+    def const(i):
+        return (0, 0)
+
+    eps_arr = jnp.reshape(eps.astype(jnp.float32), (1,))
+    gated = gate is not None
+    gate_col = (
+        gate.astype(jnp.float32).reshape(S, 1)
+        if gated
+        else jnp.ones((S, 1), jnp.float32)
+    )
+
+    flops_tile = 2 * block_s * (d * 4 * hidden * 2 + hidden * d + d * ffn * 2)
+    y, h2, c2 = pl.pallas_call(
+        functools.partial(_layer_kernel_i8, gated),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),  # gate
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),  # ff1_b
+            pl.BlockSpec((ffn, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),  # ff2_b
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (1,)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, hidden), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_tile * grid[0],
+            bytes_accessed=(
+                (2 * d * 4 * hidden + hidden * d + 2 * d * ffn)
+                + S * (3 * d + 2 * hidden) * 4
+            ),
+            transcendentals=S * (5 * hidden + ffn),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        h,
+        c,
+        gate_col,
+        w_ih_q,
+        w_ih_s.reshape(1, -1),
+        w_hh_q,
+        w_hh_s.reshape(1, -1),
+        bias.reshape(1, -1),
+        w_hr_q,
+        w_hr_s.reshape(1, -1),
+        ff1_q,
+        ff1_s.reshape(1, -1),
+        ff1_b.reshape(1, -1),
+        ff2_q,
+        ff2_s.reshape(1, -1),
+        ff2_b.reshape(1, -1),
+        eps_arr,
+    )
+    return y, h2, c2
+
+
+def _chunk_kernel_i8(
+    P,
+    gated,
+    x_ref,
+    h_ref,
+    c_ref,
+    n_ref,
+    wih_ref,
+    wih_s_ref,
+    whh_ref,
+    whh_s_ref,
+    b_ref,
+    whr_ref,
+    whr_s_ref,
+    ff1_ref,
+    ff1_s_ref,
+    f1b_ref,
+    ff2_ref,
+    ff2_s_ref,
+    f2b_ref,
+    eps_ref,
+    y_ref,
+    h2_ref,
+    c2_ref,
+):
+    """int8 variant of `_chunk_kernel`: weights are pre-quantized int8 with
+    per-output-column scales; activations are quantized per-row on the fly.
+    Every matmul issues as int8 x int8 -> int32 — the v5e MXU's int8 mode
+    runs at ~2x its bf16 rate, and the encoder is ~98% of the engine step's
+    FLOPs, so this is the serving path's biggest single lever. All
+    accumulation is exact (int32); the only approximation is the int8
+    rounding of weights (calibrated per column) and activations (per row),
+    dequantized in f32 before the nonlinearities. The cell state and every
+    inter-op intermediate stay f32 exactly as in the bf16 kernel."""
+    H = c_ref.shape[1]
+    h2_ref[:] = h_ref[:]
+    c2_ref[:] = c_ref[:]
+
+    def body(t, _):
+        x = x_ref[t].astype(jnp.float32)
+        h_t = h2_ref[:]
+        c_t = c2_ref[:]
+        xq, xs = _rowq8(x)
+        hq, hs = _rowq8(h_t)
+        gates = (
+            jnp.dot(xq, wih_ref[:], preferred_element_type=jnp.int32).astype(
+                jnp.float32
+            )
+            * (xs * wih_s_ref[:])
+            + jnp.dot(hq, whh_ref[:], preferred_element_type=jnp.int32).astype(
+                jnp.float32
+            )
+            * (hs * whh_s_ref[:])
+            + b_ref[:].astype(jnp.float32)
+        )
+        i = gates[:, :H]
+        f = gates[:, H : 2 * H]
+        g = gates[:, 2 * H : 3 * H]
+        o = gates[:, 3 * H :]
+        # cell state stays f32 (streaming error must not compound)
+        c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        hcq, hcs = _rowq8(hc)
+        h_new = jnp.dot(
+            hcq, whr_ref[:], preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * (hcs * whr_s_ref[:])
+
+        y = x + h_new  # residual LSTM
+        yq, ys = _rowq8(y)
+        mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
+        mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+        mq, ms = _rowq8(mid)
+        ff = jnp.dot(mq, ff2_ref[:], preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        ) * (ms * ff2_s_ref[:]) + f2b_ref[:].astype(jnp.float32)
+        yn = y + ff
+        y_ref[t] = yn * jax.lax.rsqrt(
+            jnp.mean(yn * yn, axis=-1, keepdims=True) + eps_ref[0]
+        )
+        if gated:
+            live = t < n_ref[:]  # [bs, 1] bool
+            h2_ref[:] = jnp.where(live, h_new, h_t)
+            c2_ref[:] = jnp.where(live, c_new, c_t)
+        else:
+            h2_ref[:] = h_new
+            c2_ref[:] = c_new
+        return 0
+
+    jax.lax.fori_loop(0, P, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_s", "interpret"))
+def lstm_layer_chunk_fused_i8(
+    x,
+    h,
+    c,
+    w_ih_q,
+    w_ih_s,
+    w_hh_q,
+    w_hh_s,
+    bias,
+    w_hr_q,
+    w_hr_s,
+    ff1_q,
+    ff1_s,
+    ff1_b,
+    ff2_q,
+    ff2_s,
+    ff2_b,
+    eps,
+    n_pulls=None,
+    *,
+    block_s: int = 256,
+    interpret: bool = False,
+):
+    """Whole-chunk fused layer on int8-quantized weights: x [P, S, d] ->
+    (y [P, S, d], h', c'). Same contract as `lstm_layer_chunk_fused`; the
+    `*_q` operands are int8 [in, out] and `*_s` their per-output-column f32
+    scales [1, out] (see models/lstm_transducer.quantize_weights)."""
+    P, S, d = x.shape
+    hidden = c.shape[1]
+    ffn = ff1_q.shape[1]
+    grid = (S // block_s,)
+
+    def xrow(i):
+        return (0, i, 0)
+
+    def row(i):
+        return (i, 0)
+
+    def const(i):
+        return (0, 0)
+
+    eps_arr = jnp.reshape(eps.astype(jnp.float32), (1,))
+    gated = n_pulls is not None
+    n_col = (
+        n_pulls.astype(jnp.int32).reshape(S, 1)
+        if gated
+        else jnp.full((S, 1), P, jnp.int32)
+    )
+
+    flops = 2 * S * P * (d * 4 * hidden * 2 + hidden * d + d * ffn * 2)
+    y, h2, c2 = pl.pallas_call(
+        functools.partial(_chunk_kernel_i8, P, gated),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((P, block_s, d), xrow, memory_space=pltpu.VMEM),  # x
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),  # h
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),  # c
+            pl.BlockSpec((block_s, 1), row, memory_space=pltpu.VMEM),  # n_pulls
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * hidden), const, memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec((hidden, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ffn), const, memory_space=pltpu.VMEM),  # ff1_b
+            pl.BlockSpec((ffn, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), const, memory_space=pltpu.VMEM),  # ff2_b
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # eps (1,)
+        ],
+        out_specs=(
+            pl.BlockSpec((P, block_s, d), xrow, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_s, hidden), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, d), jnp.float32),
+            jax.ShapeDtypeStruct((S, hidden), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(
+                (2 * d * 4 * hidden + hidden * d + 2 * d * ffn)
+                + S * (P * 2 * d + 2 * d + 2 * hidden) * 4
+            ),
+            transcendentals=S * P * (5 * hidden + ffn),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        x,
+        h,
+        c,
+        n_col,
+        w_ih_q,
+        w_ih_s.reshape(1, -1),
+        w_hh_q,
+        w_hh_s.reshape(1, -1),
+        bias.reshape(1, -1),
+        w_hr_q,
+        w_hr_s.reshape(1, -1),
+        ff1_q,
+        ff1_s.reshape(1, -1),
+        ff1_b.reshape(1, -1),
+        ff2_q,
+        ff2_s.reshape(1, -1),
+        ff2_b.reshape(1, -1),
+        eps_arr,
+    )
+    return y, h2, c2
+
+
 # VMEM budget bound for the chunk kernel: x+y tiles are P*block_s*d f32 each
 # (P=56 at block_s=128, d=512 is ~14.7 MB per tile — fits the 100 MB budget
 # with weights and double-buffering).

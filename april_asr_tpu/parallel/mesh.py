@@ -62,6 +62,18 @@ _PARAM_SPECS: Dict[str, P] = {
     # conformer family (models/conformer.py): shard attention projections on
     # the head/output dim and FFN on the hidden dim; the small conv module,
     # layernorms, and relative bias stay replicated
+    # int8 quantized serving copies (lstm_transducer.quantize_weights):
+    # values and per-output-column scales shard exactly like their originals
+    "w_ih_t_q8": P(None, None, "model"),
+    "w_ih_t_q8s": P(None, None, "model"),
+    "w_hh_t_q8": P(None, None, "model"),
+    "w_hh_t_q8s": P(None, None, "model"),
+    "w_hr_t_q8": P(None, "model", None),
+    "w_hr_t_q8s": P(),
+    "ff1_t_q8": P(None, None, "model"),
+    "ff1_t_q8s": P(None, None, "model"),
+    "ff2_t_q8": P(None, "model", None),
+    "ff2_t_q8s": P(),
     "att_q": P(None, None, "model"),
     "att_k": P(None, None, "model"),
     "att_v": P(None, None, "model"),

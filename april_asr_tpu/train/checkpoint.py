@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from ..io.safetensors import load_safetensors_bytes, save_safetensors_bytes
-from ..models.lstm_transducer import DERIVED_KEYS
+from ..models.lstm_transducer import is_derived
 
 
 def _to_host(v) -> np.ndarray:
@@ -39,7 +39,7 @@ def _flatten_state(state) -> Tuple[Dict[str, np.ndarray], dict]:
     params = {
         f"params.{k}": _to_host(v)
         for k, v in state.params.items()
-        if k not in DERIVED_KEYS
+        if not is_derived(k)
     }
     opt_leaves = jax.tree_util.tree_leaves(state.opt_state)
     opt = {f"opt.{i:04d}": _to_host(v) for i, v in enumerate(opt_leaves)}
@@ -63,14 +63,14 @@ def load_checkpoint(path: str | os.PathLike, template_state):
         flat, meta = load_safetensors_bytes(f.read())
     params = dict(template_state.params)
     for k in list(params.keys()):
-        if k in DERIVED_KEYS:
+        if is_derived(k):
             continue
         key = f"params.{k}"
         if key not in flat:
             raise ValueError(f"checkpoint missing parameter {k}")
         params[k] = jax.numpy.asarray(flat[key])
     # re-derive any derived tables lazily (loader recomputes them)
-    params = {k: v for k, v in params.items() if k not in DERIVED_KEYS}
+    params = {k: v for k, v in params.items() if not is_derived(k)}
 
     leaves, treedef = jax.tree_util.tree_flatten(template_state.opt_state)
     n = int(meta.get("n_opt_leaves", -1))

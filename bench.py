@@ -69,7 +69,14 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
         params = init_transducer_params(jax.random.PRNGKey(0), dims)
     params["join_b"] = params["join_b"].at[0].add(bias_blank)
     params = precompute_decoder_tables(params, dims)
-    if os.environ.get("APRIL_BENCH_PRECISION", "bf16") == "bf16":
+    prec = os.environ.get("APRIL_BENCH_PRECISION", "int8")
+    if prec == "int8" and arch == "lstm":
+        # quantized serving path: per-channel int8 encoder matmuls on the
+        # MXU's 2x-rate int8 mode (models/lstm_transducer.quantize_weights)
+        from april_asr_tpu.models.lstm_transducer import quantize_weights
+
+        params = cast_weights(quantize_weights(params), jnp.bfloat16)
+    elif prec in ("bf16", "int8"):
         params = cast_weights(params, jnp.bfloat16)
     mp = make_model_parameters(dims, default_tokens(dims.vocab))
 

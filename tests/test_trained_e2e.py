@@ -173,6 +173,22 @@ def test_bf16_pallas_exact_transcripts(trained):
     assert hyps == refs, f"\nhyp: {hyps}\nref: {refs}"
 
 
+def test_int8_quantized_exact_transcripts(trained):
+    """int8 quantized serving path (precision="int8"): per-channel weight
+    quantization + dynamic per-row activation quantization through the
+    encoder. Trained decision margins dwarf the <=1% quantization noise, so
+    transcripts must be unchanged — the accuracy evidence behind making
+    int8 the benchmark's serving configuration."""
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.models.lstm_transducer import is_quantized
+
+    model = Model(trained["native"], prefer_native=True, precision="int8")
+    assert is_quantized(model.runtime.weights)
+    hyps = _decode_all(model, trained["pairs"])
+    refs = [ref for _, ref in trained["pairs"]]
+    assert hyps == refs, f"\nhyp: {hyps}\nref: {refs}"
+
+
 def test_wer_harness_zero(trained, capsys):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from tools.wer_harness import main as wer_main
