@@ -82,6 +82,11 @@ def init_decode_state(
         "context": jnp.full((batch, context_size), blank_id, jnp.int32),
         "dout": jnp.zeros((batch, joiner_dim), jnp.float32),
         "dout_init": jnp.zeros(batch, bool),
+        # lazy-dout carry for the fused decoder+joiner path: True marks
+        # sessions whose context changed after `dout` was last computed, so
+        # the NEXT inner-decode iteration must refresh dout before the
+        # joiner (see models/lstm_transducer.decoder_joiner_argmax)
+        "need_dec": jnp.zeros(batch, bool),
         "token_words": jnp.zeros((batch, T), jnp.int32),
         "head": jnp.zeros(batch, jnp.int32),
         "last_call": jnp.zeros(batch, jnp.int32),

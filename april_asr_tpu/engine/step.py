@@ -198,18 +198,38 @@ def build_engine(
         done = ~can
         evts = []
         for ee in INNER_STEPS_EMIT:
-            if rt.joiner_argmax is not None:
+            if rt.decoder_joiner_argmax is not None:
+                # lazy-dout path: the dout refresh owed from the previous
+                # iteration (need_dec) fuses with this iteration's joiner +
+                # argmax into ONE kernel — same values, same context, two
+                # fewer op groups per iteration (x75 per 1 s chunk)
+                mi, mv, bv, dout = rt.decoder_joiner_argmax(
+                    weights, dstate["context"], dstate["need_dec"],
+                    dstate["dout"], eout,
+                )
+                dstate["dout"] = dout
+                dstate, evt, is_blank, need_dec = decode_step_pre(
+                    dstate, mi, mv, bv, ~done, ee, blank, vt, dcfg
+                )
+                dstate["need_dec"] = need_dec
+            elif rt.joiner_argmax is not None:
                 mi, mv, bv = rt.joiner_argmax(weights, eout, dstate["dout"])
                 dstate, evt, is_blank, need_dec = decode_step_pre(
                     dstate, mi, mv, bv, ~done, ee, blank, vt, dcfg
+                )
+                new_dout = rt.decoder_step(weights, dstate["context"])
+                dstate["dout"] = jnp.where(
+                    need_dec[:, None], new_dout, dstate["dout"]
                 )
             else:
                 logits = rt.joiner(weights, eout, dstate["dout"])
                 dstate, evt, is_blank, need_dec = decode_step(
                     dstate, logits, ~done, ee, blank, vt, dcfg
                 )
-            new_dout = rt.decoder_step(weights, dstate["context"])
-            dstate["dout"] = jnp.where(need_dec[:, None], new_dout, dstate["dout"])
+                new_dout = rt.decoder_step(weights, dstate["context"])
+                dstate["dout"] = jnp.where(
+                    need_dec[:, None], new_dout, dstate["dout"]
+                )
             done = done | is_blank
             evts.append(evt)
         events = {k: jnp.stack([e[k] for e in evts], axis=1) for k in evts[0]}
@@ -427,6 +447,10 @@ def build_engine(
         )
         new_dout = rt.decoder_step(weights, dstate["context"])
         dstate["dout"] = jnp.where(do_clear[:, None], new_dout, dstate["dout"])
+        # dout was just refreshed eagerly for cleared sessions — cancel any
+        # pending lazy refresh so the fused path doesn't redo it against the
+        # (now blank) context with a stale need_dec
+        dstate["need_dec"] = jnp.where(do_clear, False, dstate["need_dec"])
         dstate["emitted_silence"] = jnp.where(do_flush, True, dstate["emitted_silence"])
 
         # Stack event groups: each [rounds, S, 3] -> [S, sum(rounds)+1, 3]

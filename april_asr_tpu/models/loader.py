@@ -85,6 +85,12 @@ class ModelRuntime:
     # (max_idx, max_val, blank_val) — the engine prefers this over
     # joiner + decode-side argmax so [S, vocab] logits never hit HBM.
     joiner_argmax: Optional[Callable] = None
+    # Optional lazy-dout fused inner-decode iteration:
+    # (w, ctx, need_dec, dout, eout) -> (max_idx, max_val, blank_val, dout').
+    # Refreshes dout where the previous iteration changed the context, then
+    # joiner + argmax — one kernel per iteration on TPU. The engine prefers
+    # this over joiner_argmax + an eager decoder_step when present.
+    decoder_joiner_argmax: Optional[Callable] = None
 
     @property
     def sample_rate(self) -> int:
@@ -164,6 +170,14 @@ def _native_joiner_argmax(blank_id: int):
     from .lstm_transducer import joiner_argmax
 
     return lambda w, e, d: joiner_argmax(w, e, d, blank_id)
+
+
+def _native_decoder_joiner(blank_id: int, dims):
+    from .lstm_transducer import decoder_joiner_argmax
+
+    return lambda w, ctx, nd, dout, e: decoder_joiner_argmax(
+        w, ctx, nd, dout, e, blank_id, dims
+    )
 
 
 def _native_split_fns():
@@ -336,6 +350,9 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         encoder_recurrent=recur,
         encoder_chunk=chunk,
         joiner_argmax=_native_joiner_argmax(p.blank_id) if kind == "native" else None,
+        decoder_joiner_argmax=(
+            _native_decoder_joiner(p.blank_id, dims) if kind == "native" else None
+        ),
     )
 
 
@@ -377,6 +394,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         encoder_recurrent=recur,
         encoder_chunk=chunk,
         joiner_argmax=_native_joiner_argmax(p.blank_id),
+        decoder_joiner_argmax=_native_decoder_joiner(p.blank_id, dims),
     )
 
 

@@ -791,6 +791,45 @@ def joiner_argmax(
     return greedy_prologue(joiner_logits(params, eout, dout), blank_id)
 
 
+def decoder_joiner_argmax(
+    params: Params,
+    ctx: jnp.ndarray,
+    need_dec: jnp.ndarray,
+    dout: jnp.ndarray,
+    eout: jnp.ndarray,
+    blank_id: int,
+    dims: TransducerDims,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lazy-dout fused inner-decode iteration: refresh dout for sessions
+    whose PREVIOUS iteration changed the context (`need_dec`), then run the
+    joiner + greedy argmax — one Pallas kernel on TPU (dec_table gathers as
+    one-hot MXU contractions), an equivalent XLA fallback elsewhere.
+
+    Equivalent to the reference's eager order (aas_update_context runs the
+    decoder immediately on emission, src/april_session.c:181-196, then the
+    next joiner uses it, :166-179): the refresh sees the same context
+    either way; deferring it to the consuming iteration just lets the two
+    matmuls fuse. Returns (max_idx, max_val, blank_val, dout')."""
+    if _pallas_wanted() and "dec_table" in params and dims.context == 2:
+        from ..ops.joiner_pallas import decoder_joiner_argmax_fused, dj_supported
+
+        S, J = eout.shape
+        d = params["dec_table"].shape[2]
+        block_s = _pick_block_s(S)
+        if block_s and dj_supported(S, J, d, dims.context, block_s):
+            return decoder_joiner_argmax_fused(
+                ctx, need_dec, dout, eout, params["dec_table"],
+                params["dec_proj_t"], params["dec_proj_b"],
+                params["join_t"], params["join_b"],
+                blank_id=blank_id, block_s=block_s,
+                interpret=jax.default_backend() != "tpu",
+            )
+    new_dout = decoder_step(params, ctx, dims)
+    dout = jnp.where(need_dec[:, None], new_dout, dout)
+    mi, mv, bv = joiner_argmax(params, eout, dout, blank_id)
+    return mi, mv, bv, dout
+
+
 def init_streaming_state(
     dims: TransducerDims, batch: int, dtype=jnp.float32
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

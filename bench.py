@@ -39,6 +39,7 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     from april_asr_tpu.models.loader import (
         ModelRuntime,
         _fbank_opts_from_params,
+        _native_decoder_joiner,
         _native_joiner_argmax,
         _native_runtime_fns,
     )
@@ -113,6 +114,7 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
         encoder_embed=embed, encoder_recurrent=recur, encoder_chunk=chunk,
         joiner_argmax=_native_joiner_argmax(mp.blank_id),
+        decoder_joiner_argmax=_native_decoder_joiner(mp.blank_id, dims),
     )
 
 

@@ -273,3 +273,45 @@ def test_batch_engine_data_parallel_keeps_pallas(params, monkeypatch):
     assert sum(len(s) for s in ref) > 0
     for i in range(S):
         assert got[i] == ref[i], f"slot {i} event stream diverged"
+
+
+def test_batch_engine_on_mesh_int8_quantized(params):
+    """int8-quantized weights serve correctly over a data-parallel
+    shard_map mesh AND a GSPMD data x model mesh: both produce the
+    identical callback stream to unsharded quantized execution (the q8
+    arrays ride the same replicate/shard specs as their originals,
+    parallel/mesh.py _PARAM_SPECS)."""
+    from april_asr_tpu.engine import BatchEngine
+    from april_asr_tpu.models.lstm_transducer import quantize_weights
+
+    rt = _tiny_runtime(params)
+    rt.weights = quantize_weights(rt.weights)
+    rng = np.random.default_rng(17)
+    S = 8
+    audio = (rng.normal(0, 0.15, size=(S, 9600)) * 20000).astype(np.int16)
+
+    def run(mesh):
+        eng = BatchEngine(rt, batch=S, mesh=mesh)
+        streams = [[] for _ in range(S)]
+
+        def mk(i):
+            return lambda result, toks: streams[i].append(
+                (result, tuple((t.token_id, t.flags, t.time_ms) for t in toks))
+            )
+
+        slots = [eng.alloc(mk(i)) for i in range(S)]
+        for off in range(0, audio.shape[1], 3200):
+            for i, sl in enumerate(slots):
+                eng.feed(sl, audio[i, off : off + 3200])
+            while eng.tick():
+                pass
+        eng.flush(np.ones(S, bool))
+        return streams
+
+    ref = run(None)
+    assert sum(len(s) for s in ref) > 0
+    got_dp = run(make_mesh(model_parallel=1))
+    got_tp = run(make_mesh(model_parallel=2))
+    for i in range(S):
+        assert got_dp[i] == ref[i], f"slot {i} diverged on the DP mesh"
+        assert got_tp[i] == ref[i], f"slot {i} diverged on the TP mesh"
