@@ -38,6 +38,7 @@ from .lstm_transducer import (
     Params,
     _double_swish,
     _mm,
+    _q8_mm,
     conv_subsample,
 )
 
@@ -160,6 +161,41 @@ def _ff(x, a, ab, o, ob):
     return _mm(mid, o) + ob.astype(jnp.float32)
 
 
+def _mmq(p_l, name, x):
+    """Projection matmul that transparently uses the int8 quantized copy
+    (`<name>_q8` + per-column scales) when present — the Conformer side of
+    the quantized serving path (lstm_transducer.quantize_weights). The
+    attention/conv einsums stay f32: they are a small FLOPs fraction and
+    softmax/GLU inputs are precision-sensitive."""
+    q = p_l.get(name + "_q8")
+    if q is None:
+        return _mm(x, p_l[name])
+    return _q8_mm(x, q, p_l[name + "_q8s"])
+
+
+def _ffq(p_l, pre, x):
+    mid = _double_swish(
+        _mmq(p_l, pre + "_a", x) + p_l[pre + "_ab"].astype(jnp.float32)
+    )
+    return _mmq(p_l, pre + "_o", mid) + p_l[pre + "_ob"].astype(jnp.float32)
+
+
+# Quantizable projection bases within _STACKED (see
+# lstm_transducer.QUANT_TARGETS; quantize_weights adds the _q8/_q8s keys)
+_Q8_BASES = (
+    "ff1_a", "ff1_o", "att_q", "att_k", "att_v", "att_o",
+    "cv_pw1", "cv_pw2", "ff2_a", "ff2_o",
+)
+
+
+def _stacked_params(params):
+    keys = list(_STACKED)
+    for base in _Q8_BASES:
+        if base + "_q8" in params:
+            keys += [base + "_q8", base + "_q8s"]
+    return {k: params[k] for k in keys}
+
+
 def _swish(x):
     return x * jax.nn.sigmoid(x)
 
@@ -199,16 +235,13 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
     kc, vc, conv_st, pos = _unpack(h_l, c_l, dims)
     ipos = pos.astype(jnp.int32)  # frame index of THIS pull (0-based)
 
-    x = x + 0.5 * _ff(
-        _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]),
-        p_l["ff1_a"], p_l["ff1_ab"], p_l["ff1_o"], p_l["ff1_ob"],
-    )
+    x = x + 0.5 * _ffq(p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]))
 
     # -- causal MHSA over the ring cache ----------------------------------
     u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
-    q = (_mm(u, p_l["att_q"]) + p_l["att_qb"].astype(jnp.float32)).reshape(S, H, dk)
-    kn = (_mm(u, p_l["att_k"]) + p_l["att_kb"].astype(jnp.float32))
-    vn = (_mm(u, p_l["att_v"]) + p_l["att_vb"].astype(jnp.float32))
+    q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(S, H, dk)
+    kn = (_mmq(p_l, "att_k", u) + p_l["att_kb"].astype(jnp.float32))
+    vn = (_mmq(p_l, "att_v", u) + p_l["att_vb"].astype(jnp.float32))
     # write current frame into ring slot pos % C (one-hot select: no scatter)
     slot = ipos % C
     onehot = (jnp.arange(C)[None, :] == slot[:, None])[..., None]  # [S, C, 1]
@@ -230,18 +263,18 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
     att = jnp.einsum(
         "shc,schd->shd", w, vc.reshape(S, C, H, dk), preferred_element_type=jnp.float32
     ).reshape(S, d)
-    x = x + _mm(att, p_l["att_o"]) + p_l["att_ob"].astype(jnp.float32)
+    x = x + _mmq(p_l, "att_o", att) + p_l["att_ob"].astype(jnp.float32)
 
     # -- causal conv module ------------------------------------------------
     u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
-    g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2d]
+    g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2d]
     g = g[:, :d] * jax.nn.sigmoid(g[:, d:])  # GLU
     window = jnp.concatenate([conv_st, g[:, None, :]], axis=1)  # [S, k, d]
     dw = jnp.einsum(
         "skd,kd->sd", window, p_l["cv_dw"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) + p_l["cv_dwb"].astype(jnp.float32)
-    x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
+    x = x + _mmq(p_l, "cv_pw2", _swish(dw)) + p_l["cv_pw2b"].astype(jnp.float32)
     if gate is None:
         conv_st = window[:, 1:, :]
         pos = pos + 1.0
@@ -249,10 +282,7 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
         conv_st = jnp.where(gate[:, None, None], window[:, 1:, :], conv_st)
         pos = pos + gate.astype(pos.dtype)
 
-    x = x + 0.5 * _ff(
-        _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
-        p_l["ff2_a"], p_l["ff2_ab"], p_l["ff2_o"], p_l["ff2_ob"],
-    )
+    x = x + 0.5 * _ffq(p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]))
     y = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
 
     h_l, c_l = _pack(kc, vc, conv_st, pos)
@@ -292,7 +322,7 @@ def conformer_encoder_recurrent(
         y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims, gate)
         return y, (h_l, c_l)
 
-    stacked = {k: params[k] for k in _STACKED}
+    stacked = _stacked_params(params)
     y, (h_new, c_new) = jax.lax.scan(layer, y, (stacked, h, c))
     eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return eout, h_new, c_new
@@ -349,18 +379,17 @@ def conformer_encoder_chunk(
         kc, vc, conv_st, pos = _unpack(h_l, c_l, dims)
         ipos = pos.astype(jnp.int32)  # frame index of the chunk's FIRST pull
 
-        x = x + 0.5 * _ff(
-            _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]),
-            p_l["ff1_a"], p_l["ff1_ab"], p_l["ff1_o"], p_l["ff1_ob"],
+        x = x + 0.5 * _ffq(
+            p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"])
         )
 
         # -- causal MHSA: ring keys + in-chunk keys ------------------------
         u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
-        q = (_mm(u, p_l["att_q"]) + p_l["att_qb"].astype(jnp.float32)).reshape(
+        q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(
             S, P, H, dk
         )
-        kn = _mm(u, p_l["att_k"]) + p_l["att_kb"].astype(jnp.float32)  # [S, P, d]
-        vn = _mm(u, p_l["att_v"]) + p_l["att_vb"].astype(jnp.float32)
+        kn = _mmq(p_l, "att_k", u) + p_l["att_kb"].astype(jnp.float32)  # [S, P, d]
+        vn = _mmq(p_l, "att_v", u) + p_l["att_vb"].astype(jnp.float32)
         bias = p_l["rel_bias"].astype(jnp.float32)  # [H, C]
 
         # ring slot s holds the latest pre-chunk frame ≡ s (mod C), i.e. age
@@ -399,25 +428,24 @@ def conformer_encoder_chunk(
                 preferred_element_type=jnp.float32,
             )
         ).reshape(S, P, d)
-        x = x + _mm(att, p_l["att_o"]) + p_l["att_ob"].astype(jnp.float32)
+        x = x + _mmq(p_l, "att_o", att) + p_l["att_ob"].astype(jnp.float32)
 
         # -- causal conv over [conv_st ‖ chunk] ----------------------------
         u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
-        g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)
+        g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)
         g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, P, d]
         full = jnp.concatenate([conv_st, g], axis=1)  # [S, k-1+P, d]
         dwk = p_l["cv_dw"].astype(jnp.float32)  # [k, d]
         dw = sum(full[:, i : i + P] * dwk[i] for i in range(k)) + p_l[
             "cv_dwb"
         ].astype(jnp.float32)
-        x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
+        x = x + _mmq(p_l, "cv_pw2", _swish(dw)) + p_l["cv_pw2b"].astype(jnp.float32)
         # new left context = last k-1 rows of the valid prefix (len k-1+n)
         idx = n[:, None] + jnp.arange(k - 1)[None, :]  # [S, k-1]
         conv_new = jnp.take_along_axis(full, idx[..., None], axis=1)
 
-        x = x + 0.5 * _ff(
-            _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
-            p_l["ff2_a"], p_l["ff2_ab"], p_l["ff2_o"], p_l["ff2_ob"],
+        x = x + 0.5 * _ffq(
+            p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"])
         )
         y_out = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
 
@@ -441,7 +469,7 @@ def conformer_encoder_chunk(
         h_l, c_l = _pack(kc, vc, conv_new, pos + n.astype(pos.dtype))
         return y_out, (h_l, c_l)
 
-    stacked = {kk: params[kk] for kk in _STACKED}
+    stacked = _stacked_params(params)
     x, (h_new, c_new) = jax.lax.scan(layer, x, (stacked, h, c))
     eout = _mm(x, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return jnp.transpose(eout, (1, 0, 2)), h_new, c_new
@@ -475,18 +503,17 @@ def conformer_encoder_seq(
     dist = t_i[:, None] - t_i[None, :]  # [W, W] (query - key)
     causal = (dist >= 0) & (dist < C)
 
-    stacked = {kk: params[kk] for kk in _STACKED}
+    stacked = _stacked_params(params)
 
     def layer(y, p_l):
         x = y
-        x = x + 0.5 * _ff(
-            _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]),
-            p_l["ff1_a"], p_l["ff1_ab"], p_l["ff1_o"], p_l["ff1_ob"],
+        x = x + 0.5 * _ffq(
+            p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"])
         )
         u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
-        q = (_mm(u, p_l["att_q"]) + p_l["att_qb"].astype(jnp.float32)).reshape(S, W, H, dk)
-        kk = (_mm(u, p_l["att_k"]) + p_l["att_kb"].astype(jnp.float32)).reshape(S, W, H, dk)
-        vv = (_mm(u, p_l["att_v"]) + p_l["att_vb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        kk = (_mmq(p_l, "att_k", u) + p_l["att_kb"].astype(jnp.float32)).reshape(S, W, H, dk)
+        vv = (_mmq(p_l, "att_v", u) + p_l["att_vb"].astype(jnp.float32)).reshape(S, W, H, dk)
         scores = jnp.einsum(
             "sqhd,skhd->shqk", q, kk, preferred_element_type=jnp.float32
         ) * (dk ** -0.5)
@@ -497,21 +524,20 @@ def conformer_encoder_seq(
         att = jnp.einsum(
             "shqk,skhd->sqhd", wgt, vv, preferred_element_type=jnp.float32
         ).reshape(S, W, d)
-        x = x + _mm(att, p_l["att_o"]) + p_l["att_ob"].astype(jnp.float32)
+        x = x + _mmq(p_l, "att_o", att) + p_l["att_ob"].astype(jnp.float32)
 
         u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
-        g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)
+        g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)
         g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, W, d]
         padded = jnp.pad(g, ((0, 0), (k - 1, 0), (0, 0)))
         dw = sum(
             padded[:, i : i + W] * p_l["cv_dw"].astype(jnp.float32)[i]
             for i in range(k)
         ) + p_l["cv_dwb"].astype(jnp.float32)
-        x = x + _mm(_swish(dw), p_l["cv_pw2"]) + p_l["cv_pw2b"].astype(jnp.float32)
+        x = x + _mmq(p_l, "cv_pw2", _swish(dw)) + p_l["cv_pw2b"].astype(jnp.float32)
 
-        x = x + 0.5 * _ff(
-            _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]),
-            p_l["ff2_a"], p_l["ff2_ab"], p_l["ff2_o"], p_l["ff2_ob"],
+        x = x + 0.5 * _ffq(
+            p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"])
         )
         return _layer_norm(x, p_l["lno_s"], p_l["lno_b"]), None
 
@@ -519,6 +545,6 @@ def conformer_encoder_seq(
     # per-layer slices (L is small and static)
     L = dims.layers
     for l in range(L):
-        p_l = {kk: stacked[kk][l] for kk in _STACKED}
+        p_l = {kk: stacked[kk][l] for kk in stacked}
         y, _ = layer(y, p_l)
     return _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)

@@ -66,8 +66,15 @@ Params = Dict[str, jnp.ndarray]
 # checkpointed, or exported.
 DERIVED_KEYS = frozenset({"dec_table"})
 
-# Encoder layer matrices eligible for int8 quantization (quantize_weights).
-QUANT_TARGETS = ("w_ih_t", "w_hh_t", "w_hr_t", "ff1_t", "ff2_t")
+# Encoder layer matrices eligible for int8 quantization (quantize_weights):
+# the LSTM family's five, plus the Conformer block's ten (models/conformer.py
+# _mmq picks them up per layer). quantize_weights skips absent names, so one
+# target list serves both families.
+QUANT_TARGETS = (
+    "w_ih_t", "w_hh_t", "w_hr_t", "ff1_t", "ff2_t",
+    "ff1_a", "ff1_o", "att_q", "att_k", "att_v", "att_o",
+    "cv_pw1", "cv_pw2", "ff2_a", "ff2_o",
+)
 
 
 def is_derived(key: str) -> bool:

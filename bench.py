@@ -71,13 +71,14 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
     params["join_b"] = params["join_b"].at[0].add(bias_blank)
     params = precompute_decoder_tables(params, dims)
     prec = os.environ.get("APRIL_BENCH_PRECISION", "int8")
-    if prec == "int8" and arch == "lstm":
+    if prec == "int8":
         # quantized serving path: per-channel int8 encoder matmuls on the
-        # MXU's 2x-rate int8 mode (models/lstm_transducer.quantize_weights)
+        # MXU's 2x-rate int8 mode (models/lstm_transducer.quantize_weights;
+        # covers both the LSTM and Conformer families)
         from april_asr_tpu.models.lstm_transducer import quantize_weights
 
         params = cast_weights(quantize_weights(params), jnp.bfloat16)
-    elif prec in ("bf16", "int8"):
+    elif prec == "bf16":
         params = cast_weights(params, jnp.bfloat16)
     mp = make_model_parameters(dims, default_tokens(dims.vocab))
 

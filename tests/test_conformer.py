@@ -243,3 +243,67 @@ def test_conformer_tp_sharding_matches_single_device(params):
     got_e, got_h, got_c = step(sharded, x_s, h, c)
     np.testing.assert_allclose(np.asarray(got_e), np.asarray(ref_e), atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(ref_h), atol=1e-4, rtol=1e-4)
+
+
+def test_conformer_int8_chunk_matches_recurrent():
+    """int8-quantized Conformer: the whole-chunk path and the per-pull
+    recurrent path stay consistent under quantization (same per-row
+    activation quant + exact int32 accumulation in both)."""
+    import numpy as np
+
+    from april_asr_tpu.models.conformer import (
+        conformer_encoder_chunk,
+        conformer_encoder_recurrent,
+        init_conformer_params,
+    )
+    from april_asr_tpu.models.lstm_transducer import quantize_weights
+
+    dims = DIMS
+    params = quantize_weights(init_conformer_params(jax.random.PRNGKey(3), dims))
+    assert "att_q_q8" in params
+    P, S = 3, 4
+    y = jax.random.normal(jax.random.PRNGKey(1), (P, S, dims.d_model), jnp.float32)
+    h = jnp.zeros((dims.layers, S, dims.state_shapes[0][1]), jnp.float32)
+    c = jnp.zeros((dims.layers, S, dims.state_shapes[1][1]), jnp.float32)
+    can = jnp.ones((P, S), bool)
+
+    eout_c, h_c, c_c = conformer_encoder_chunk(params, y, h, c, dims, can)
+
+    h_r, c_r = h, c
+    outs = []
+    for p in range(P):
+        e, h_r, c_r = conformer_encoder_recurrent(params, y[p], h_r, c_r, dims)
+        outs.append(e)
+    eout_r = jnp.stack(outs)
+    np.testing.assert_allclose(
+        np.asarray(eout_c), np.asarray(eout_r), rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_allclose(np.asarray(h_c), np.asarray(h_r), rtol=5e-3, atol=5e-3)
+
+
+def test_conformer_int8_error_bounded():
+    """Quantized vs f32 conformer chunk output: bounded relative error on
+    realistic-scale weights."""
+    import numpy as np
+
+    from april_asr_tpu.models.conformer import (
+        conformer_encoder_chunk,
+        init_conformer_params,
+    )
+    from april_asr_tpu.models.lstm_transducer import quantize_weights
+
+    dims = DIMS
+    base = init_conformer_params(jax.random.PRNGKey(5), dims)
+    qp = quantize_weights(base)
+    P, S = 3, 4
+    y = jax.random.normal(jax.random.PRNGKey(2), (P, S, dims.d_model), jnp.float32)
+    h = jnp.zeros((dims.layers, S, dims.state_shapes[0][1]), jnp.float32)
+    c = jnp.zeros((dims.layers, S, dims.state_shapes[1][1]), jnp.float32)
+    can = jnp.ones((P, S), bool)
+    e_q, _, _ = conformer_encoder_chunk(qp, y, h, c, dims, can)
+    e_f, _, _ = conformer_encoder_chunk(base, y, h, c, dims, can)
+    rel = float(
+        np.abs(np.asarray(e_q) - np.asarray(e_f)).mean()
+        / (np.abs(np.asarray(e_f)).mean() + 1e-9)
+    )
+    assert rel < 0.05, f"conformer int8 diverged: mean rel err {rel:.4f}"

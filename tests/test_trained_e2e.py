@@ -295,3 +295,12 @@ def test_conformer_trained_exact_transcripts(tmp_path_factory):
     hyps = _decode_all(model, pairs)
     refs = [ref for _, ref in pairs]
     assert hyps == refs, f"\nhyp: {hyps}\nref: {refs}"
+
+    # int8 quantized serving on the SAME trained conformer: per-channel
+    # int8 projections through the attention blocks, exact transcripts
+    from april_asr_tpu.models.lstm_transducer import quantize_weights
+
+    model_q = Model(str(april), precision="int8")
+    assert "att_q_q8" in model_q.runtime.weights
+    hyps_q = _decode_all(model_q, pairs)
+    assert hyps_q == refs, f"\nhyp: {hyps_q}\nref: {refs}"
