@@ -42,7 +42,9 @@ def inputs():
 
 
 def test_quantize_weights_shapes_and_idempotence(qparams):
-    for name in M.QUANT_TARGETS:
+    quantized = [n for n in M.QUANT_TARGETS if n in qparams]
+    assert len(quantized) == 5  # the LSTM family's five layer matrices
+    for name in quantized:
         q = qparams[name + "_q8"]
         s = qparams[name + "_q8s"]
         assert q.dtype == jnp.int8
