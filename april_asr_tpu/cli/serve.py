@@ -14,6 +14,11 @@ Protocol (client -> server), little-endian framed:
     opcode 4 = metrics request (no payload) -> one {"metrics": {...}} JSON
                line: sessions_active, audio_seconds, rtf, cant_keep_up,
                events_replayed, tick_latency_s_p50/p99, staged_depth, ...
+    opcode 5 = realtime-speedup request (no payload) -> one
+               {"speedup": float} JSON line: this session's estimate of how
+               much faster than realtime its audio must be consumed for the
+               engine to keep up (reference aas_realtime_get_speedup,
+               april_api.h:188-192; >1 means the session is falling behind)
 Server -> client: newline-delimited JSON:
     {"result": "partial"|"final"|"silence"|"cant_keep_up",
      "text": "...", "tokens": [{"t": str, "lp": float, "wb": bool,
@@ -182,6 +187,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     }
                     with send_lock:
                         sock.sendall((json.dumps(info) + "\n").encode())
+                elif opcode == 5:
+                    sp = engine.rt_speedup(slot) if slot is not None else 1.0
+                    with send_lock:
+                        sock.sendall(
+                            (json.dumps({"speedup": round(sp, 4)}) + "\n").encode()
+                        )
                 elif opcode == 4:
                     from ..utils.logging import metrics
 

@@ -103,8 +103,15 @@ class BatchEngine:
         self._local_rows = (0, batch)
         if prog is not None and prog.batch != batch:
             raise ValueError(f"program batch {prog.batch} != engine batch {batch}")
+        # donate=False: the serving engine keeps the pre-step state alive so
+        # a program failure can be contained per slot (see _contain) instead
+        # of evicting every session. Costs the output allocation + the
+        # pass-through copies donation would have aliased away (~1 ms device
+        # time per tick at S=2048 — containment is worth it on the serving
+        # path; the bench drives build_engine directly with donation on).
         self.prog: EngineProgram = prog or build_engine(
-            rt, batch, cfg or EngineConfig(), dcfg or DecodeConfig(), mesh=mesh
+            rt, batch, cfg or EngineConfig(), dcfg or DecodeConfig(), mesh=mesh,
+            donate=False,
         )
         self.cfg = self.prog.cfg
         self.dcfg = self.prog.dcfg
@@ -183,6 +190,10 @@ class BatchEngine:
         self._init_state = self._copy_state(self.state)
         self.slots: List[Optional[_Slot]] = [None] * batch
         self.max_staged = int(self.cfg.max_buffered_seconds * rt.sample_rate)
+        # Realtime-speedup estimate (reference april_session.c:456-462:
+        # speed_needed = 0.9*old + 0.1*(1.1*elapsed/audio_ms), EMA'd per
+        # inference round — here per engine tick over the batched chunk).
+        self._speed_ema = 1.0
         self._lock = threading.Lock()
         # Serializes every device-state transition (step/flush/slot reset):
         # the step program donates the state buffers, so two concurrent
@@ -228,13 +239,42 @@ class BatchEngine:
 
     # -- failure containment ----------------------------------------------
 
+    def _contain(self, exc: Exception, run) -> bool:
+        """Per-slot containment of a step/flush failure. With non-donating
+        programs (the serving default) the pre-step state survived the failed
+        execution, so instead of evicting everyone: scrub the surviving state
+        to find poisoned slots (evicting just those), then RETRY the program
+        for the healthy sessions — their streams continue exactly as if the
+        failure never happened. Falls back to full recovery when the retry
+        also fails or when the program donated its state (bench-style
+        programs; nothing left to retry on). Returns True when the retry
+        produced a result (stored by `run`)."""
+        if self.prog.donated:
+            self._recover(exc)
+            return False
+        log.error(
+            "engine program failed (%s: %s); scrubbing + retrying",
+            type(exc).__name__, exc,
+        )
+        log.metrics.incr("engine_step_retries")
+        bad = self._scrub_impl()
+        if bad:
+            log.warning("containment: evicted %d poisoned slot(s)", len(bad))
+        try:
+            run(bad)
+            return True
+        except Exception as exc2:  # noqa: BLE001 - any program failure
+            self._recover(exc2)
+            return False
+
     def _recover(self, exc: Exception) -> None:
-        """Elastic recovery from a step/flush failure. The reference aborts
-        the whole process on any backend error (ort_util.h:29-38); here the
-        error is contained: device state is rebuilt from the init template
-        (the failed program may have consumed the donated state buffers),
-        every live session's handler receives SESSION_ERROR, staged audio is
-        dropped, and the engine keeps serving."""
+        """Last-resort elastic recovery from a step/flush failure. The
+        reference aborts the whole process on any backend error
+        (ort_util.h:29-38); here the error is contained to the engine:
+        device state is rebuilt from the init template (the failed program
+        may have consumed donated state buffers, or the retry after a scrub
+        failed too), every live session's handler receives SESSION_ERROR,
+        staged audio is dropped, and the engine keeps serving."""
         log.error("engine program failed (%s: %s); recovering", type(exc).__name__, exc)
         log.metrics.incr("engine_recoveries")
         self.state = self._copy_state(self._init_state)
@@ -256,9 +296,13 @@ class BatchEngine:
         slots evicted. Serving loops may call this periodically; in
         multi-process runs every host must call it in lockstep (the sweep
         and the per-slot resets are collective programs)."""
+        return len(self._scrub_impl())
+
+    def _scrub_impl(self) -> list:
+        """scrub() body; returns the evicted slot indices."""
         with self._step_lock:
             bad = np.asarray(self._scrub_jit(self.state))
-            n = 0
+            evicted = []
             for i in np.nonzero(bad)[0]:
                 i = int(i)
                 s = self.slots[i]
@@ -269,8 +313,8 @@ class BatchEngine:
                     s.replayer = EventReplayer(self.rt.params, s.handler)
                     log.metrics.incr("sessions_evicted")
                     s.handler(RESULT_SESSION_ERROR, [])
-                n += 1
-        return n
+                evicted.append(i)
+        return evicted
 
     # -- slot lifecycle ----------------------------------------------------
 
@@ -324,6 +368,21 @@ class BatchEngine:
         s = self.slots[slot]
         return len(s.staged) if s else 0
 
+    def rt_speedup(self, slot: Optional[int] = None) -> float:
+        """Per-session realtime-speedup estimate (the reference's
+        aas_realtime_get_speedup telemetry, april_api.h:188-192): how much
+        faster than realtime this session's audio must be consumed for the
+        engine to keep up. The base is the engine-tick EMA of
+        1.1 * tick_time / chunk_time (april_session.c:456-462); a slot with
+        a staged backlog additionally has to drain it within the buffer
+        bound, so its estimate scales by (1 + backlog/buffer)."""
+        v = self._speed_ema
+        if slot is not None and 0 <= slot < self.batch:
+            s = self.slots[slot]
+            if s is not None and self.max_staged > 0:
+                v *= 1.0 + len(s.staged) / float(self.max_staged)
+        return float(v)
+
     def tick(self) -> bool:
         """Dispatch one chunk step for all slots with staged audio. Returns
         True if any session had samples to process."""
@@ -345,15 +404,29 @@ class BatchEngine:
 
         t0 = _time.perf_counter()
         with self._step_lock:
-            try:
-                self.state, events = self.prog.step(
-                    self.weights, self.state, self._put(audio), self._put(n)
+            out = {}
+
+            def run(bad=()):
+                # evicted slots must not consume the stale chunk the failed
+                # step was fed — their streams restarted at SESSION_ERROR
+                nn = n
+                if len(bad):
+                    nn = n.copy()
+                    nn[list(bad)] = 0
+                out["v"] = self.prog.step(
+                    self.weights, self.state, self._put(audio), self._put(nn)
                 )
+
+            try:
+                run()
             except Exception as e:
-                self._recover(e)
-                return False
+                if not self._contain(e, run):
+                    return False
+            self.state, events = out["v"]
         self._replay(events)
         dt = _time.perf_counter() - t0
+        chunk_s = self.cfg.chunk_samples / self.rt.sample_rate
+        self._speed_ema = (self._speed_ema * 9.0 + (dt * 1.1) / chunk_s) / 10.0
         log.metrics.observe("tick_latency_s", dt)
         audio_s = float(n.sum()) / self.rt.sample_rate
         log.metrics.incr("audio_seconds", audio_s)
@@ -399,13 +472,23 @@ class BatchEngine:
                         self.slots[i].was_flushed = True
             if not slot_mask.any():
                 return
-            try:
-                self.state, events = self.prog.flush(
-                    self.weights, self.state, self._put(slot_mask)
+            out = {}
+
+            def run(bad=()):
+                m = slot_mask
+                if len(bad):
+                    m = slot_mask.copy()
+                    m[list(bad)] = False
+                out["v"] = self.prog.flush(
+                    self.weights, self.state, self._put(m)
                 )
+
+            try:
+                run()
             except Exception as e:
-                self._recover(e)
-                return
+                if not self._contain(e, run):
+                    return
+            self.state, events = out["v"]
         self._replay(events)
 
     # -- event replay ------------------------------------------------------

@@ -105,6 +105,13 @@ class EngineProgram:
     step: Callable  # (weights, state, audio_i16 [S,chunk], n [S]) -> (state, events)
     flush: Callable  # (weights, state, do_flush [S]) -> (state, events)
     batch: int
+    # Whether step/flush donate the state buffers. Donation saves the output
+    # allocation + pass-through copies (the bench's dispatch loop uses it),
+    # but a FAILED execution leaves donated inputs unusable — so the serving
+    # engine builds with donate=False, which is what makes per-slot failure
+    # containment possible (BatchEngine retries the step on the surviving
+    # pre-step state instead of evicting every session).
+    donated: bool = True
 
     @property
     def stride_ms(self) -> int:
@@ -149,6 +156,7 @@ def build_engine(
     cfg: EngineConfig | None = None,
     dcfg: DecodeConfig | None = None,
     mesh=None,
+    donate: bool = True,
 ) -> EngineProgram:
     """`mesh` builds the programs for multi-chip serving. Sessions are
     independent, so the data-parallel case maps onto `shard_map` over the
@@ -471,9 +479,10 @@ def build_engine(
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
         return state, pack_events(events)
 
+    donate_args = (1,) if donate else ()
     if mesh is None:
-        step_c = jax.jit(step, donate_argnums=(1,))
-        flush_c = jax.jit(flush, donate_argnums=(1,))
+        step_c = jax.jit(step, donate_argnums=donate_args)
+        flush_c = jax.jit(flush, donate_argnums=donate_args)
     else:
         data_axis = mesh.axis_names[0]
         model_size = 1
@@ -508,8 +517,8 @@ def build_engine(
                 out_specs=(state_specs, PS(data_axis)),
                 check_vma=False,
             )
-            step_c = jax.jit(step_sm, donate_argnums=(1,))
-            flush_c = jax.jit(flush_sm, donate_argnums=(1,))
+            step_c = jax.jit(step_sm, donate_argnums=donate_args)
+            flush_c = jax.jit(flush_sm, donate_argnums=donate_args)
         else:
             # TP in play: GSPMD must partition the model contractions, which
             # excludes pallas_call — trace with the pure-XLA compute paths.
@@ -526,8 +535,8 @@ def build_engine(
 
                 return inner
 
-            step_c = _no_pallas(jax.jit(step, donate_argnums=(1,)))
-            flush_c = _no_pallas(jax.jit(flush, donate_argnums=(1,)))
+            step_c = _no_pallas(jax.jit(step, donate_argnums=donate_args))
+            flush_c = _no_pallas(jax.jit(flush, donate_argnums=donate_args))
 
     return EngineProgram(
         rt=rt,
@@ -537,4 +546,5 @@ def build_engine(
         step=step_c,
         flush=flush_c,
         batch=batch,
+        donated=donate,
     )

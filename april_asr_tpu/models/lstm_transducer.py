@@ -171,9 +171,21 @@ def quantize_weights(params: Params) -> Params:
     the stream. Originals are kept alongside for training/export and the
     conv-embed/decoder/joiner (negligible FLOPs, stay bf16/f32).
 
-    Call AFTER precompute_decoder_tables and BEFORE/AFTER cast_weights
-    (quantization always reads the originals in f32)."""
+    Call AFTER precompute_decoder_tables and ideally BEFORE cast_weights:
+    quantization reads the stored originals, so quantizing after a bf16
+    cast calibrates against bf16-rounded values (astype(f32) cannot recover
+    the original f32 weights). The shipped apply_precision path quantizes
+    first; a non-f32 source is accepted but logged."""
     out = dict(params)
+    if params.get("w_ih_t") is not None and params["w_ih_t"].dtype != jnp.float32:
+        from ..utils import logging as _log
+
+        _log.warning(
+            "quantize_weights: source weights are %s, not f32 — int8 scales "
+            "will be calibrated against already-rounded values (quantize "
+            "before cast_weights to avoid this)",
+            params["w_ih_t"].dtype,
+        )
     for name in QUANT_TARGETS:
         if name not in params or name + "_q8" in params:
             continue
@@ -823,7 +835,11 @@ def decoder_joiner_argmax(
         S, J = eout.shape
         d = params["dec_table"].shape[2]
         block_s = _pick_block_s(S)
-        if block_s and dj_supported(S, J, d, dims.context, block_s):
+        if block_s and dj_supported(
+            S, J, d, dims.context, block_s,
+            vocab=params["join_t"].shape[1],
+            w_itemsize=params["join_t"].dtype.itemsize,
+        ):
             return decoder_joiner_argmax_fused(
                 ctx, need_dec, dout, eout, params["dec_table"],
                 params["dec_proj_t"], params["dec_proj_b"],

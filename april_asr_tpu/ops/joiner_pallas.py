@@ -141,10 +141,16 @@ def _dj_kernel(
     c0 = ctx_ref[:, 0:1]
     c1 = ctx_ref[:, 1:2]
     iota = jax.lax.broadcasted_iota(jnp.int32, (c0.shape[0], t0_ref.shape[0]), 1)
-    oh0 = jnp.where(iota == c0, 1.0, 0.0).astype(wd)
-    oh1 = jnp.where(iota == c1, 1.0, 0.0).astype(wd)
-    pre = jnp.dot(oh0, t0_ref[:].astype(wd), preferred_element_type=jnp.float32) + jnp.dot(
-        oh1, t1_ref[:].astype(wd), preferred_element_type=jnp.float32
+    # One-hot contraction stays f32: the dec_table rows are f32 even under
+    # bf16/int8 serving (derived tables are never cast), and the eager
+    # decoder_step gathers those f32 rows exactly — casting to a bf16
+    # weight dtype here would make the fused and fallback paths diverge by
+    # bf16 rounding (advisor r2). A one-hot f32 matmul selects rows
+    # exactly, so `pre` matches the gather bit-for-bit.
+    oh0 = jnp.where(iota == c0, 1.0, 0.0)
+    oh1 = jnp.where(iota == c1, 1.0, 0.0)
+    pre = jnp.dot(oh0, t0_ref[:], preferred_element_type=jnp.float32) + jnp.dot(
+        oh1, t1_ref[:], preferred_element_type=jnp.float32
     )
     y = jnp.maximum(pre, 0.0)
     new_dout = (
@@ -264,7 +270,33 @@ def decoder_joiner_argmax_fused(
     return mi[:, 0], mv[:, 0], bv[:, 0], dout2
 
 
-def dj_supported(S: int, J: int, d: int, context: int, block_s: int = 512) -> bool:
+def dj_supported(
+    S: int,
+    J: int,
+    d: int,
+    context: int,
+    block_s: int = 512,
+    vocab: int = 0,
+    w_itemsize: int = 4,
+) -> bool:
     """Tiling constraints for the fused decoder+joiner kernel (2-token
-    context only — the reference decoder's fixed geometry)."""
-    return context == 2 and S % block_s == 0 and J % 128 == 0 and d % 128 == 0
+    context only — the reference decoder's fixed geometry), plus a VMEM
+    budget bound on the vocab-sized resident operands: the kernel pins two
+    padded [Vp, d] f32 dec_table blocks, the [J, Vp] joiner, and the
+    activation tiles under the 64 MB vmem_limit. At the reference's maximum
+    token-id range (~16384, src/params.c validation) with d=512 the tables
+    alone are ~67 MB — such models must take the XLA fallback in
+    decoder_joiner_argmax rather than fail at Mosaic compile time."""
+    if not (context == 2 and S % block_s == 0 and J % 128 == 0 and d % 128 == 0):
+        return False
+    if vocab:
+        Vp = -(-vocab // 128) * 128
+        resident = (
+            2 * Vp * d * 4  # dec_table halves (f32)
+            + J * Vp * w_itemsize  # joiner weights
+            + d * J * w_itemsize  # dec_proj
+            + block_s * (4 * J + 16) * 4  # activation tiles (x2 buffering slack)
+        )
+        if resident > 56 * 1024 * 1024:  # headroom under the 64 MB limit
+            return False
+    return True

@@ -185,9 +185,18 @@ def bench_batch(
     def replay(packed):
         return replay_packed(packed, slots)
 
+    # Warmup doubles as the compile step; heartbeat each one so a parent
+    # staring at a silent child can tell compile from a wedged transport.
     for i in range(warmup):
+        t_w = time.perf_counter()
         state, events = prog.step(rt.weights, state, bufs[i % 8], n)
-    jax.block_until_ready(events)
+        jax.block_until_ready(events)
+        print(
+            f"# warmup {i + 1}/{warmup} done in {time.perf_counter() - t_w:.1f}s"
+            + (" (includes compile)" if i == 0 else ""),
+            file=sys.stderr,
+            flush=True,
+        )
 
     import contextlib
 
@@ -217,8 +226,10 @@ def bench_batch(
             durs.append(t_now - t_iter)
             t_iter = t_now
             # salvage path: a transport stall or parent-side timeout must not
-            # lose the config — report the running medians every few steps
-            if interim is not None and len(durs) >= 2 and (i + 1) % 3 == 0:
+            # lose the config — report running medians from the FIRST step
+            # with a latency sample (round 2 lost its number because the
+            # first interim waited for 3 measured steps that never came)
+            if interim is not None and lat and (i < 6 or (i + 1) % 3 == 0):
                 interim(durs, lat, n_events, i + 1)
         n_events += replay(prev)
         lat.append(time.perf_counter() - t_disp)
@@ -262,7 +273,19 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
         import jax
 
         jax.config.update("jax_platforms", plat)
+    prec = os.environ.get("APRIL_BENCH_PRECISION", "int8")
+    print(
+        f"# building runtime: arch={arch} precision={prec} S={S} chunk={chunk_s}s",
+        file=sys.stderr,
+        flush=True,
+    )
+    t_b = time.perf_counter()
     rt = build_runtime(arch=arch)
+    print(
+        f"# runtime built in {time.perf_counter() - t_b:.1f}s; compiling engine",
+        file=sys.stderr,
+        flush=True,
+    )
     audio_s_per_step = S * chunk_s
 
     def pack(res, done):
@@ -271,6 +294,7 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
             "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
             "evps": evps, "p50": p50, "p99": p99, "mean_ms": mean_ms,
             "stalls": n_stalls, "max_stall_ms": max_stall, "steps_done": done,
+            "arch": arch, "precision": prec,
         }
 
     def interim(durs, lat, n_events, done):
@@ -285,7 +309,9 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
     return pack(res, steps)
 
 
-def _run_one_subprocess(S: int, chunk_s: float, timeout_s: float) -> dict | None:
+def _run_one_subprocess(
+    S: int, chunk_s: float, timeout_s: float, arch: str
+) -> dict | None:
     """Run one config in a child process so a wedged backend compile (the
     remote TPU service here can hang indefinitely) cannot take down the
     whole benchmark — the child is killed at the timeout and the remaining
@@ -294,7 +320,14 @@ def _run_one_subprocess(S: int, chunk_s: float, timeout_s: float) -> dict | None
 
     global _child
     proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--one", str(S), str(chunk_s)],
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--one",
+            str(S),
+            str(chunk_s),
+            arch,
+        ],
         stdout=subprocess.PIPE,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -356,13 +389,29 @@ def _emit_summary():
             flush=True,
         )
         return
-    fam = "streaming Conformer" if _arch == "conformer" else "LSTM"
+    fam = (
+        "streaming Conformer"
+        if best.get("arch", _arch) == "conformer"
+        else "LSTM"
+    )
     lowlat = min(_results, key=lambda r: r["chunk_s"])
     extra = ""
     if lowlat is not best:
         extra = (
             f"; low-latency point: {lowlat['thr']:,.0f} audio-s/s at "
             f"{lowlat['chunk_s']*1000:.0f} ms chunks, p50 {lowlat['p50']:.0f} ms"
+        )
+    other = [
+        r
+        for r in _results
+        if r.get("arch") not in (None, best.get("arch", _arch))
+    ]
+    if other:
+        ob = max(other, key=lambda r: r["thr"])
+        ofam = "Conformer" if ob["arch"] == "conformer" else "LSTM"
+        extra += (
+            f"; {ofam} family: {ob['thr']:,.0f} audio-s/s at S={ob['S']}, "
+            f"p50 {ob['p50']:.0f} ms"
         )
     print(
         json.dumps(
@@ -384,21 +433,28 @@ def _emit_summary():
 
 
 def main():
-    global _arch
-    # (S, chunk_seconds): the 1 s chunk is the throughput point; the 200 ms
-    # chunk is the low-latency serving point (reference cadence,
-    # april_session.c:515 SEGSIZE). Two configs only — round 1's three
-    # overran the driver budget and lost the official number entirely.
-    configs = [(2048, 1.0), (2048, 0.2)]
+    # Config ladder (S, chunk_seconds, arch): opens with a config that
+    # compiles in about a minute so the FIRST official number never depends
+    # on the most expensive compile (rounds 1+2 both lost their numbers to
+    # compile-time starvation of the big config). Then the throughput point
+    # (1 s chunks), the low-latency serving point (200 ms chunks — reference
+    # cadence, april_session.c:515 SEGSIZE), and the second model family.
+    default_arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
+    configs = [
+        (256, 1.0, default_arch),
+        (2048, 1.0, default_arch),
+        (2048, 0.2, default_arch),
+        (1024, 1.0, "conformer" if default_arch == "lstm" else default_arch),
+    ]
     if "APRIL_BENCH_BATCHES" in os.environ:
         configs = [
-            (int(x), float(os.environ.get("APRIL_BENCH_CHUNK_S", "1.0")))
+            (int(x), float(os.environ.get("APRIL_BENCH_CHUNK_S", "1.0")), default_arch)
             for x in os.environ["APRIL_BENCH_BATCHES"].split(",")
         ]
     steps = int(os.environ.get("APRIL_BENCH_STEPS", "20"))
-    arch = _arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
 
-    if len(sys.argv) == 4 and sys.argv[1] == "--one":
+    if len(sys.argv) >= 4 and sys.argv[1] == "--one":
+        arch = sys.argv[4] if len(sys.argv) > 4 else default_arch
         r = _run_one(int(sys.argv[2]), float(sys.argv[3]), steps, arch)
         print(json.dumps(r))
         return
@@ -429,9 +485,12 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
-    for S, chunk_s in configs:
+    for S, chunk_s, arch in configs:
         remaining = deadline - time.monotonic()
-        if remaining < 60:
+        # the insurance config (first rung) must finish; later rungs only
+        # launch when they could plausibly complete AND a number is already
+        # banked (never risk the official line on an expensive compile)
+        if remaining < 60 or (_results and remaining < 120):
             print(f"# deadline reached, skipping ({S},{chunk_s})", file=sys.stderr)
             continue
         r = None
@@ -446,7 +505,7 @@ def main():
                     )
                     r = None
             else:
-                r = _run_one_subprocess(S, chunk_s, min(timeout_s, remaining))
+                r = _run_one_subprocess(S, chunk_s, min(timeout_s, remaining), arch)
             if r is not None:
                 break
             if attempt < retries:

@@ -14,6 +14,8 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <chrono>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -317,6 +319,13 @@ struct AprilASRSession_i {
   std::thread reader;
   std::atomic<bool> closing{false};
   std::mutex send_mu;
+  // realtime-speedup telemetry (reference april_api.h:188-192): refreshed
+  // by {"speedup": x} replies to the opcode-5 request; generation-counted
+  // so the getter can wait for a fresh sample without risking a hang.
+  std::mutex sp_mu;
+  std::condition_variable sp_cv;
+  float speedup = 1.0f;
+  uint64_t sp_gen = 0;
 
   void reader_loop() {
     std::string buf, line;
@@ -324,6 +333,13 @@ struct AprilASRSession_i {
       JsonParser jp(line);
       JsonValue v = jp.parse();
       if (!jp.ok || v.kind != JsonValue::OBJ) continue;
+      if (const JsonValue *sp = v.get("speedup")) {
+        std::lock_guard<std::mutex> lk(sp_mu);
+        speedup = static_cast<float>(sp->num);
+        ++sp_gen;
+        sp_cv.notify_all();
+        continue;
+      }
       const JsonValue *res = v.get("result");
       if (!res) continue;
       AprilResultType rt = APRIL_RESULT_UNKNOWN;
@@ -388,8 +404,22 @@ extern "C" void aas_flush(AprilASRSession s) {
 }
 
 extern "C" float aas_realtime_get_speedup(AprilASRSession s) {
-  (void)s;
-  return 1.0f;
+  if (!s) return 1.0f;
+  uint64_t gen;
+  {
+    std::lock_guard<std::mutex> lk(s->sp_mu);
+    gen = s->sp_gen;
+  }
+  {
+    std::lock_guard<std::mutex> lk(s->send_mu);
+    if (!send_frame(s->fd, 5, nullptr, 0)) return s->speedup;
+  }
+  std::unique_lock<std::mutex> lk(s->sp_mu);
+  // wait briefly for the fresh sample; fall back to the last known value
+  // (first call before any reply returns the 1.0 initial state)
+  s->sp_cv.wait_for(lk, std::chrono::milliseconds(250),
+                    [&] { return s->sp_gen != gen; });
+  return s->speedup;
 }
 
 extern "C" void aas_free(AprilASRSession s) {

@@ -10,8 +10,10 @@
  *     accepts "tcp://host:port"); a filesystem path is an error.
  *   - every session behaves like the reference's ARPIL_CONFIG_FLAG_ASYNC_NO_RT
  *     mode: the handler fires on a background reader thread.
- *   - aas_realtime_get_speedup() always returns 1.0 (server-side batching
- *     replaces client-side time-stretch degradation).
+ *   - aas_realtime_get_speedup() queries the server (opcode 5) for this
+ *     session's live estimate: how much faster than realtime its audio must
+ *     be consumed for the engine to keep up (>1 = falling behind; the
+ *     reference's degrade-gracefully telemetry, april_api.h:188-192).
  *
  * C#/Java can P/Invoke/JNA this library exactly like the reference's.
  */
@@ -106,7 +108,9 @@ void aas_feed_pcm16(AprilASRSession session, short *pcm16, size_t count);
 /* Process buffered audio and force a final result. */
 void aas_flush(AprilASRSession session);
 
-/* Realtime speedup factor; 1.0 in this client. */
+/* Realtime speedup factor for this session, fetched live from the server
+ * (blocks up to ~250 ms for a fresh sample; returns the last known value,
+ * initially 1.0, on timeout or transport failure). */
 float aas_realtime_get_speedup(AprilASRSession session);
 
 void aas_free(AprilASRSession session);

@@ -130,6 +130,106 @@ def test_c_client_end_to_end(capi_lib, tmp_path):
         server.shutdown()
 
 
+SPEEDUP_CLIENT = textwrap.dedent("""
+    #include <stdio.h>
+    #include <stdlib.h>
+    #include <string.h>
+    #include <unistd.h>
+    #include "april_tpu_api.h"
+
+    static void handler(void *ud, AprilResultType rt, size_t count,
+                        const AprilToken *tokens) {
+        (void)ud; (void)rt; (void)count; (void)tokens;
+    }
+
+    int main(int argc, char **argv) {
+        aam_api_init(APRIL_VERSION);
+        AprilASRModel model = aam_create_model(argv[1]);
+        if (!model) return 2;
+        AprilConfig cfg;
+        memset(&cfg, 0, sizeof(cfg));
+        cfg.handler = handler;
+        AprilASRSession s = aas_create_session(model, cfg);
+        if (!s) return 5;
+
+        short buf[3200];
+        srand(7);
+        float sp = 1.0f;
+        /* keep feeding while the (artificially slowed) server falls behind;
+           poll the live telemetry until it reports >1x needed speedup */
+        for (int c = 0; c < 120 && sp <= 1.05f; c++) {
+            for (int i = 0; i < 3200; i++) buf[i] = (short)((rand() % 16384) - 8192);
+            aas_feed_pcm16(s, buf, 3200);
+            sp = aas_realtime_get_speedup(s);
+        }
+        printf("speedup=%f\\n", sp);
+        aas_free(s);
+        aam_free(model);
+        return sp > 1.05f ? 0 : 7;
+    }
+""")
+
+
+def test_speedup_reported_under_forced_slowdown(capi_lib, tmp_path):
+    """aas_realtime_get_speedup surfaces the server's per-session estimate:
+    with the engine step artificially slowed below realtime, the C client
+    must observe a speedup > 1 (the reference's degrade-gracefully
+    telemetry, april_api.h:188-192 — hardcoded to 1.0 in round 2)."""
+    import dataclasses
+    import subprocess as sp
+
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.cli.serve import _Handler, _Server
+    from april_asr_tpu.engine.batch import BatchEngine
+    from april_asr_tpu.testing import FixtureConfig, write_test_april
+
+    path = tmp_path / "fixture.april"
+    write_test_april(path, FixtureConfig())
+    model = Model(path)
+    engine = BatchEngine(model.runtime, batch=2)
+
+    # Force every dispatch well below realtime: chunk is 3200 samples
+    # (200 ms of audio), so a 350 ms sleep drives the needed-speedup EMA
+    # toward 1.1 * 0.35 / 0.2 ~= 1.9.
+    orig_step = engine.prog.step
+
+    def slow_step(*a):
+        time.sleep(0.35)
+        return orig_step(*a)
+
+    engine.prog = dataclasses.replace(engine.prog, step=slow_step)
+
+    server = _Server(
+        ("127.0.0.1", 0), _Handler, engine, model.runtime.params,
+        model_info={
+            "name": model.get_name(), "description": "", "language": "en",
+            "sample_rate": model.get_sample_rate(),
+        },
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    d = capi_lib.parent
+    src = d / "speedup_client.c"
+    src.write_text(SPEEDUP_CLIENT)
+    exe = d / "speedup_client"
+    subprocess.run(
+        ["gcc", "-O2", str(src), "-Inative", f"-L{d}", "-lapril_tpu",
+         f"-Wl,-rpath,{d}", "-o", str(exe)],
+        check=True,
+    )
+    try:
+        out = subprocess.run(
+            [str(exe), f"127.0.0.1:{port}"],
+            capture_output=True, text=True, timeout=300,
+        )
+        assert out.returncode == 0, (out.returncode, out.stdout, out.stderr)
+        assert float(out.stdout.split("speedup=")[1]) > 1.05
+    finally:
+        server.shutdown()
+
+
 def test_metrics_opcode(tmp_path):
     """opcode 4 returns a metrics snapshot with engine counters populated."""
     import json

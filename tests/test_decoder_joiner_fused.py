@@ -117,6 +117,40 @@ def test_fused_kernel_matches_xla_fallback():
     np.testing.assert_allclose(k[3], x[3], rtol=1e-5, atol=1e-5)  # dout'
 
 
+def test_fused_kernel_matches_xla_fallback_bf16():
+    """Same parity under bf16 serving weights (advisor r2): the dec_table
+    one-hot contraction must stay f32 (exact row selection, matching the
+    fallback's f32 gather) even when dec_proj/join are bf16; the bf16
+    matmuls themselves agree within a bf16 ulp of activation noise."""
+    params = M.precompute_decoder_tables(
+        M.init_transducer_params(jax.random.PRNGKey(2), DIMS), DIMS
+    )
+    params = M.cast_weights(params, jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    ctx = jnp.asarray(rng.integers(0, DIMS.vocab, size=(S, 2)), jnp.int32)
+    nd = jnp.asarray(rng.random(S) < 0.5)
+    dout = jnp.asarray(rng.normal(size=(S, DIMS.joiner_dim)), jnp.float32)
+    eout = jnp.asarray(rng.normal(size=(S, DIMS.joiner_dim)), jnp.float32)
+
+    import os
+
+    os.environ["APRIL_PALLAS"] = "1"
+    try:
+        k = M.decoder_joiner_argmax(params, ctx, nd, dout, eout, 0, DIMS)
+    finally:
+        os.environ.pop("APRIL_PALLAS", None)
+    with M.pallas_disabled():
+        x = M.decoder_joiner_argmax(params, ctx, nd, dout, eout, 0, DIMS)
+    # dout': the decoder refresh feeds bf16 matmuls — tolerance one bf16 ulp
+    np.testing.assert_allclose(k[3], x[3], rtol=1e-2, atol=1e-2)
+    # argmax decisions: allow disagreement only where the two top logits are
+    # within bf16 noise of each other; values must still be close
+    np.testing.assert_allclose(k[1], x[1], rtol=1e-2, atol=1e-2)
+    np.testing.assert_allclose(k[2], x[2], rtol=1e-2, atol=1e-2)
+    agree = np.mean(np.asarray(k[0]) == np.asarray(x[0]))
+    assert agree > 0.95, f"argmax agreement {agree}"
+
+
 def test_fused_kernel_dispatches(monkeypatch):
     import april_asr_tpu.ops.joiner_pallas as JP
 
