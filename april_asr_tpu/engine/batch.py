@@ -127,8 +127,10 @@ class BatchEngine:
             from ..parallel import shard_params, state_spec_tree
 
             # Pallas-vs-GSPMD handling lives in build_engine: data-parallel
-            # meshes get shard_map programs (Pallas kernels intact); TP
-            # meshes trace pure-XLA under pallas_disabled.
+            # meshes get shard_map programs (Pallas kernels intact), and so
+            # do TP meshes for the native LSTM family (explicit TP kernels +
+            # psums, parallel/tp.py); only families without a TP kernel
+            # path trace pure-XLA under pallas_disabled via GSPMD.
             data_axis = mesh.axis_names[0]
             if batch % mesh.shape[data_axis]:
                 raise ValueError(
@@ -136,7 +138,32 @@ class BatchEngine:
                     f"{mesh.shape[data_axis]}"
                 )
             self._multiprocess = jax.process_count() > 1
-            if self._multiprocess:
+            tp_axes = self.prog.tp_axes
+            if tp_axes:
+                # shard_map TP path: gate-shuffled layout + TP specs (the
+                # fused kernels run on local layer slices; parallel/tp.py)
+                from ..parallel.tp import (
+                    prepare_tp_weights,
+                    shuffle_gate_columns,
+                    tp_param_specs,
+                )
+
+                if self._multiprocess:
+                    m = 1
+                    for ax in tp_axes:
+                        m *= mesh.shape[ax]
+                    shuffled = shuffle_gate_columns(rt.weights, m)
+                    specs_w = tp_param_specs(shuffled)
+                    w_shardings = {
+                        k: NamedSharding(mesh, specs_w[k]) for k in shuffled
+                    }
+                    host_w = {k: np.asarray(v) for k, v in shuffled.items()}
+                    self.weights = jax.jit(
+                        lambda w: w, out_shardings=w_shardings
+                    )(host_w)
+                else:
+                    self.weights = prepare_tp_weights(rt.weights, mesh)
+            elif self._multiprocess:
                 # device_put cannot reach non-addressable devices; jit with
                 # out_shardings materializes global arrays from (identical)
                 # per-host values instead.
@@ -168,13 +195,13 @@ class BatchEngine:
                 abstract = jax.eval_shape(
                     lambda w: engine_state_init_fn(self.prog, w), self.weights
                 )
-                specs = state_spec_tree(abstract, data_axis)
+                specs = state_spec_tree(abstract, data_axis, self.prog.tp_axes)
                 self.state = init_engine_state(
                     self.prog, self.weights, out_shardings=to_shardings(specs)
                 )
             else:
                 state = init_engine_state(self.prog, self.weights)
-                specs = state_spec_tree(state, data_axis)
+                specs = state_spec_tree(state, data_axis, self.prog.tp_axes)
                 self.state = jax.device_put(state, to_shardings(specs))
             self._audio_sharding = NamedSharding(mesh, P(data_axis))
             if self._multiprocess:

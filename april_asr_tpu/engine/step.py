@@ -105,6 +105,11 @@ class EngineProgram:
     step: Callable  # (weights, state, audio_i16 [S,chunk], n [S]) -> (state, events)
     flush: Callable  # (weights, state, do_flush [S]) -> (state, events)
     batch: int
+    # shard_map TP model axes (None = DP-only or GSPMD path). When set, the
+    # engine runs the explicit tensor-parallel kernel path and weights must
+    # be placed with parallel.tp.prepare_tp_weights; the cell state c is
+    # sharded over these axes.
+    tp_axes: tuple | None = None
     # Whether step/flush donate the state buffers. Donation saves the output
     # allocation + pass-through copies (the bench's dispatch loop uses it),
     # but a FAILED execution leaves donated inputs unusable — so the serving
@@ -162,11 +167,56 @@ def build_engine(
     independent, so the data-parallel case maps onto `shard_map` over the
     data axis — each shard runs the full fused step locally, Pallas kernels
     included (GSPMD cannot partition a pallas_call, but shard_map bodies are
-    per-device programs, so the fused LSTM/joiner kernels survive). Only
-    when the mesh also tensor-parallelizes the model (model axis > 1) do the
-    programs fall back to GSPMD partitioning with the pure-XLA paths."""
+    per-device programs, so the fused LSTM/joiner kernels survive).
+
+    Tensor parallelism (model axis > 1) ALSO runs as shard_map for the
+    native LSTM family: each device's weight slice is a self-contained
+    smaller LSTMP layer (gate-shuffled layout, parallel/tp.py), the local
+    compute runs the TP Pallas kernels — int8 quantized serving included —
+    and the two per-layer partial sums cross the model axis as explicit
+    psums (models/lstm_transducer._lstm_stack_step_tp). Weights must be
+    placed with parallel.tp.prepare_tp_weights (BatchEngine does). Only
+    model families without a TP kernel path (ONNX interpreter, Conformer)
+    fall back to GSPMD partitioning with the pure-XLA compute paths."""
     cfg = cfg or EngineConfig()
     dcfg = dcfg or DecodeConfig()
+
+    tp_axes = None
+    if mesh is not None and len(mesh.axis_names) > 1:
+        model_axes = tuple(mesh.axis_names[1:])
+        model_size = 1
+        for ax in model_axes:
+            model_size *= mesh.shape[ax]
+        if model_size > 1 and rt.kind == "native":
+            from ..parallel.tp import tp_shard_map_eligible
+
+            H = rt.state_shapes[1][1]
+            F = rt.weights["ff1_t"].shape[2] if "ff1_t" in rt.weights else 0
+            if (
+                tp_shard_map_eligible(rt.weights, rt.dims)
+                and H % model_size == 0
+                and F % model_size == 0
+            ):
+                from ..models.lstm_transducer import (
+                    encoder_recurrent_tp,
+                    encoder_step_tp,
+                )
+
+                axis = model_axes if len(model_axes) > 1 else model_axes[0]
+                rt = dataclasses.replace(
+                    rt,
+                    encoder_step=lambda w, x, h, c: encoder_step_tp(
+                        w, x, h, c, axis
+                    ),
+                    encoder_recurrent=lambda w, y, h, c, gate=None: (
+                        encoder_recurrent_tp(w, y, h, c, axis, gate)
+                    ),
+                    # per-pull recurrent path: the whole-chunk kernel cannot
+                    # contain the per-timestep psums
+                    encoder_chunk=None,
+                    encoder_chunk_max_pulls=None,
+                )
+                tp_axes = model_axes
     layout = FbankLayout.build(rt.fbank_opts, cfg.chunk_samples)
     vt = vocab_tables_device(rt.vocab)
     blank = rt.blank_id
@@ -488,7 +538,7 @@ def build_engine(
         model_size = 1
         for ax in mesh.axis_names[1:]:
             model_size *= mesh.shape[ax]
-        if model_size == 1:
+        if model_size == 1 or tp_axes is not None:
             from jax.sharding import PartitionSpec as PS
 
             try:
@@ -496,31 +546,51 @@ def build_engine(
             except ImportError:  # pragma: no cover - older jax
                 from jax.experimental.shard_map import shard_map as _shard_map
 
-            # Prefix specs: every state leaf is [S, ...] except h/c ([L, S, .]).
+            # Prefix specs: every state leaf is [S, ...] except h/c
+            # ([L, S, .]). Under shard_map TP the cell state c additionally
+            # shards its hidden axis over the model axis (the gate-shuffled
+            # layout makes shard k's slice exactly its local layer's cell),
+            # while h (the d-dim projected state) is replicated over model.
+            c_spec = (
+                PS(None, data_axis)
+                if tp_axes is None
+                else PS(
+                    None,
+                    data_axis,
+                    tp_axes if len(tp_axes) > 1 else tp_axes[0],
+                )
+            )
             state_specs = {
                 "fbank": PS(data_axis),
                 "h": PS(None, data_axis),
-                "c": PS(None, data_axis),
+                "c": c_spec,
                 "decode": PS(data_axis),
             }
+            if tp_axes is None:
+                w_specs = PS()
+            else:
+                from ..parallel.tp import tp_param_specs
+
+                w_specs = tp_param_specs(rt.weights)
             step_sm = _shard_map(
                 step,
                 mesh=mesh,
-                in_specs=(PS(), state_specs, PS(data_axis), PS(data_axis)),
+                in_specs=(w_specs, state_specs, PS(data_axis), PS(data_axis)),
                 out_specs=(state_specs, PS(data_axis)),
                 check_vma=False,
             )
             flush_sm = _shard_map(
                 flush,
                 mesh=mesh,
-                in_specs=(PS(), state_specs, PS(data_axis)),
+                in_specs=(w_specs, state_specs, PS(data_axis)),
                 out_specs=(state_specs, PS(data_axis)),
                 check_vma=False,
             )
             step_c = jax.jit(step_sm, donate_argnums=donate_args)
             flush_c = jax.jit(flush_sm, donate_argnums=donate_args)
         else:
-            # TP in play: GSPMD must partition the model contractions, which
+            # TP without a shard_map kernel path (ONNX interpreter,
+            # Conformer): GSPMD must partition the model contractions, which
             # excludes pallas_call — trace with the pure-XLA compute paths.
             # The dispatch flag is read at TRACE time, so wrap the jitted
             # entry points; later calls hit the jit cache and the wrapper is
@@ -546,5 +616,6 @@ def build_engine(
         step=step_c,
         flush=flush_c,
         batch=batch,
+        tp_axes=tp_axes,
         donated=donate,
     )

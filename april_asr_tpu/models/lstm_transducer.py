@@ -684,6 +684,174 @@ def encoder_step(
     return encoder_recurrent(params, encoder_embed(params, x), h, c)
 
 
+def _lstm_stack_step_tp(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, axis,
+    gate=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel `_lstm_stack_step`: one timestep through all L layers
+    on a LOCAL model shard inside a `shard_map` body.
+
+    Layout (parallel/tp.py gate-shuffled sharding): x/h are replicated
+    [S, d]; c is the local [L, S, H/m] hidden slice; w_ih_t/w_hh_t/bias are
+    the local gate-shuffled [., d, 4*H/m] slices (a standard smaller LSTMP
+    layer per shard); w_hr_t [., H/m, d] and ff1/ff2 carry the local
+    hidden/ffn slices. Two psums per layer cross `axis` (the mesh model
+    axis name(s)): the recurrent projection partial (needed before the
+    residual + FFN) and the FFN partial (before the second bias and
+    BasicNorm). The heavy local compute runs in the TP Pallas kernels
+    (ops/lstm_tp_pallas.py) — including the int8 quantized serving path —
+    with a plain-XLA fallback for unsupported tilings.
+
+    TP has no reference analog (the reference is strictly single-threaded,
+    SURVEY.md §2.4); numerics match the single-chip path up to f32
+    reduction-order (+ int8 local-row scale granularity, see
+    ops/lstm_tp_pallas.py docstring).
+    """
+    S, d = x.shape
+    Hs = c.shape[2]
+    Fs = params["ff1_t"].shape[2]
+    q = is_quantized(params)
+    block_s = _pick_block_s(S)
+    use_kern = False
+    if _pallas_wanted() and block_s:
+        from ..ops.lstm_pallas import supported_dims
+
+        use_kern = supported_dims(S, d, Hs, Fs, block_s)
+    interpret = jax.default_backend() != "tpu"
+
+    def tp_q8_contract(v, wq8, ws, axis):
+        """int8 contraction over a LOCAL (model-sharded) activation axis,
+        BIT-EXACT vs the single-chip path: quantize v with the pmax-GLOBAL
+        row scale (same int8 values as the full-row quantization), exact
+        int32 dot per shard (XLA lowers int8xint8->int32 onto the MXU),
+        then psum the INT32 partials — integer addition is associative, so
+        the summed accumulator equals the single-chip int32 accumulation
+        exactly and the single f32 dequantization matches bit-for-bit.
+        (Dequantizing before the psum loses that: the f32 partial sums
+        differ from single-chip by ulps, and the next timestep's dynamic
+        re-quantization amplifies any ulp at a rounding boundary into a
+        full int8 step — measured as ~1e-3 logit divergence.)"""
+        from ..ops.lstm_tp_pallas import rowq8_global
+
+        vq, s = rowq8_global(v, axis)
+        acc = jnp.dot(vq, wq8, preferred_element_type=jnp.int32)
+        acc = jax.lax.psum(acc, axis)
+        return acc.astype(jnp.float32) * (s * ws)
+
+    def layer(x, scan_in):
+        (w_ih, w_hh, bias, w_hr, ff1, ff1_b, ff2, ff2_b, eps,
+         wq, h_l, c_l) = scan_in
+        if q:
+            # int8: gates+cell in the kernel (x/h row quants are exact —
+            # replicated rows), then the model-sharded contractions (w_hr,
+            # ff2) as XLA int8 dots with pmax-global scales outside the
+            # kernel (a collective cannot run inside a pallas_call)
+            if use_kern:
+                from ..ops.lstm_tp_pallas import ffn_mid_i8, lstm_gates_cell_i8
+
+                hc, c_new = lstm_gates_cell_i8(
+                    x, h_l, c_l,
+                    wq["w_ih_t_q8"], wq["w_ih_t_q8s"],
+                    wq["w_hh_t_q8"], wq["w_hh_t_q8s"], bias,
+                    gate, block_s=block_s, interpret=interpret,
+                )
+            else:
+                gates = (
+                    _q8_mm(x, wq["w_ih_t_q8"], wq["w_ih_t_q8s"])
+                    + _q8_mm(h_l, wq["w_hh_t_q8"], wq["w_hh_t_q8s"])
+                    + bias.astype(jnp.float32)
+                )
+                i, f, g, o = jnp.split(gates, 4, axis=-1)
+                c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
+                hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                if gate is not None:
+                    c_new = jnp.where(gate[:, None], c_new, c_l)
+            h_new = tp_q8_contract(hc, wq["w_hr_t_q8"], wq["w_hr_t_q8s"], axis)
+            y = x + h_new
+            if use_kern:
+                mid = ffn_mid_i8(
+                    y, wq["ff1_t_q8"], wq["ff1_t_q8s"], ff1_b,
+                    block_s=block_s, interpret=interpret,
+                )
+            else:
+                mid = _double_swish(
+                    _q8_mm(y, wq["ff1_t_q8"], wq["ff1_t_q8s"])
+                    + ff1_b.astype(jnp.float32)
+                )
+            ff_sum = tp_q8_contract(mid, wq["ff2_t_q8"], wq["ff2_t_q8s"], axis)
+        elif use_kern:
+            from ..ops.lstm_tp_pallas import ffn_partial, lstm_gate_cell_proj
+
+            hp, c_new = lstm_gate_cell_proj(
+                x, h_l, c_l, w_ih, w_hh, bias, w_hr,
+                gate, block_s=block_s, interpret=interpret,
+            )
+            h_new = jax.lax.psum(hp, axis)
+            y = x + h_new
+            ff_sum = jax.lax.psum(
+                ffn_partial(
+                    y, ff1, ff1_b, ff2, block_s=block_s, interpret=interpret
+                ),
+                axis,
+            )
+        else:
+            gates = _mm(x, w_ih) + _mm(h_l, w_hh) + bias.astype(jnp.float32)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
+            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            hp = _mm(hc, w_hr)
+            if gate is not None:
+                c_new = jnp.where(gate[:, None], c_new, c_l)
+            h_new = jax.lax.psum(hp, axis)
+            y = x + h_new
+            mid = _double_swish(_mm(y, ff1) + ff1_b.astype(jnp.float32))
+            ff_sum = jax.lax.psum(_mm(mid, ff2), axis)
+        ff = ff_sum + ff2_b.astype(jnp.float32)
+        y_out = _basic_norm(y + ff, eps.astype(jnp.float32))
+        if gate is not None:
+            h_new = jnp.where(gate[:, None], h_new, h_l)
+        return y_out, (h_new, c_new)
+
+    wq_tree = (
+        {
+            k: params[k]
+            for k in (
+                "w_ih_t_q8", "w_ih_t_q8s", "w_hh_t_q8", "w_hh_t_q8s",
+                "w_hr_t_q8", "w_hr_t_q8s", "ff1_t_q8", "ff1_t_q8s",
+                "ff2_t_q8", "ff2_t_q8s",
+            )
+        }
+        if q
+        else {"_": params["norm_eps"]}  # placeholder leaf so the scan tree is static
+    )
+    scan_ins = (
+        params["w_ih_t"], params["w_hh_t"], params["bias"], params["w_hr_t"],
+        params["ff1_t"], params["ff1_b"], params["ff2_t"], params["ff2_b"],
+        params["norm_eps"], wq_tree, h, c,
+    )
+    y, (h_new, c_new) = jax.lax.scan(layer, x, scan_ins)
+    return y, h_new, c_new
+
+
+def encoder_recurrent_tp(
+    params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, axis,
+    gate=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel `encoder_recurrent` for shard_map bodies: the LSTM
+    stack runs on local shards with manual psums; the small enc->joiner
+    projection is replicated."""
+    y, h_new, c_new = _lstm_stack_step_tp(params, y, h, c, axis, gate)
+    eout = _mm(y, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
+    return eout, h_new, c_new
+
+
+def encoder_step_tp(
+    params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, axis
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Tensor-parallel `encoder_step` (flush path's whole-window form)."""
+    return encoder_recurrent_tp(params, encoder_embed(params, x), h, c, axis)
+
+
 def encoder_seq(
     params: Params, mel: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, dims: TransducerDims
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:

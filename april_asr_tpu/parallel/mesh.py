@@ -103,11 +103,18 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
     }
 
 
-def state_spec_tree(state: Dict, data_axis: str = "data") -> Dict:
+def state_spec_tree(state: Dict, data_axis: str = "data", tp_axes=None) -> Dict:
     """PartitionSpecs for engine/session state: session axis sharded over
-    `data`. h/c are [L, S, ·] (session axis 1); everything else is [S, ...]."""
+    `data`. h/c are [L, S, ·] (session axis 1); everything else is [S, ...].
+    Under the shard_map TP path (`tp_axes` = the model axis name(s)) the
+    cell state c additionally shards its hidden axis over the model axis
+    (gate-shuffled layout, parallel/tp.py)."""
 
     def spec_for(path, leaf):
+        if path == "c" and tp_axes:
+            return P(
+                None, data_axis, tp_axes if len(tp_axes) > 1 else tp_axes[0]
+            )
         if path in ("h", "c"):
             return P(None, data_axis)
         return P(data_axis)

@@ -1,0 +1,120 @@
+"""Tensor-parallel weight layout for the shard_map TP engine path.
+
+The GSPMD TP path (mesh.py _PARAM_SPECS) lets XLA partition the original
+weight layout; the shard_map TP path (engine/step.py model_size > 1 branch)
+instead runs EXPLICIT per-device programs — the fused Pallas kernels stay
+alive and the psums are placed by hand (ops/lstm_tp_pallas.py). That
+requires each device's contiguous weight slice to be a self-contained
+smaller LSTMP layer, which the stock [.., 4H] gate-concatenated layout does
+not give (a contiguous 4H/m slice of [i|f|g|o] spans partial gates).
+
+`shuffle_gate_columns` permutes the 4H gate axis into per-shard blocks —
+shard k's contiguous slice holds [i_k | f_k | g_k | o_k] for its H/m hidden
+units — so plain contiguous sharding (PartitionSpec over the last axis)
+hands every device a standard smaller layer, and the cell state c shards as
+a contiguous [.., k*H/m:(k+1)*H/m] slice with NO permutation (the shuffle
+maps shard k exactly onto that hidden-unit range).
+
+No reference analog: the reference is strictly single-threaded
+(src/params.c:71 batch=1; SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import jax
+
+# Weight keys carrying a gate-concatenated 4H last axis.
+_GATE_KEYS = ("w_ih_t", "w_hh_t", "bias", "w_ih_t_q8", "w_ih_t_q8s",
+              "w_hh_t_q8", "w_hh_t_q8s")
+
+# shard_map TP specs: ONLY the encoder LSTM stack is tensor-parallel; the
+# conv embed, decoder, and joiner are tiny and stay replicated (they run
+# identically on every model shard — deterministic, so event outputs agree).
+_TP_SPECS: Dict[str, P] = {
+    "w_ih_t": P(None, None, "model"),
+    "w_hh_t": P(None, None, "model"),
+    "bias": P(None, "model"),
+    "w_hr_t": P(None, "model", None),
+    "ff1_t": P(None, None, "model"),
+    "ff1_b": P(None, "model"),
+    "ff2_t": P(None, "model", None),
+    "ff2_b": P(),
+    "w_ih_t_q8": P(None, None, "model"),
+    "w_ih_t_q8s": P(None, None, "model"),
+    "w_hh_t_q8": P(None, None, "model"),
+    "w_hh_t_q8s": P(None, None, "model"),
+    "w_hr_t_q8": P(None, "model", None),
+    "w_hr_t_q8s": P(),
+    "ff1_t_q8": P(None, None, "model"),
+    "ff1_t_q8s": P(None, None, "model"),
+    "ff2_t_q8": P(None, "model", None),
+    "ff2_t_q8s": P(),
+}
+
+
+def gate_shuffle_perm(H: int, m: int) -> np.ndarray:
+    """Permutation of the 4H gate axis: output position
+    k*4*(H/m) + g*(H/m) + j  <-  g*H + k*(H/m) + j  (shard k, gate g)."""
+    if H % m:
+        raise ValueError(f"hidden {H} not divisible by model_parallel {m}")
+    Hs = H // m
+    perm = np.empty(4 * H, np.int64)
+    pos = 0
+    for k in range(m):
+        for g in range(4):
+            perm[pos : pos + Hs] = g * H + k * Hs + np.arange(Hs)
+            pos += Hs
+    return perm
+
+
+def shuffle_gate_columns(params: Dict, m: int) -> Dict:
+    """Gate-shuffle every 4H-axis weight for an m-way model axis (no-op for
+    m == 1). Idempotence is NOT a property — apply exactly once, to the
+    stock layout."""
+    if m == 1:
+        return params
+    out = dict(params)
+    perm = None
+    for k in _GATE_KEYS:
+        if k not in params:
+            continue
+        w = params[k]
+        if perm is None or perm.shape[0] != w.shape[-1]:
+            perm = gate_shuffle_perm(w.shape[-1] // 4, m)
+        out[k] = jax.numpy.take(w, perm, axis=-1)
+    return out
+
+
+def tp_param_specs(params: Dict) -> Dict[str, P]:
+    """PartitionSpec per param for the shard_map TP path (gate-shuffled
+    layout); anything not in the TP table is replicated."""
+    return {k: _TP_SPECS.get(k, P()) for k in params}
+
+
+def tp_shard_map_eligible(params: Dict, dims) -> bool:
+    """Whether the explicit shard_map TP path can serve these weights:
+    native LSTM-family pytree with the full layer stack present."""
+    return all(
+        k in params
+        for k in ("w_ih_t", "w_hh_t", "bias", "w_hr_t", "ff1_t", "ff2_t", "norm_eps")
+    )
+
+
+def prepare_tp_weights(params: Dict, mesh: Mesh) -> Dict:
+    """Gate-shuffle + place weights for the shard_map TP engine: sharded
+    per tp_param_specs over `mesh` (model axis = mesh.axis_names[1:],
+    assumed single name 'model' as built by make_mesh)."""
+    m = 1
+    for ax in mesh.axis_names[1:]:
+        m *= mesh.shape[ax]
+    shuffled = shuffle_gate_columns(params, m)
+    specs = tp_param_specs(shuffled)
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in shuffled.items()
+    }

@@ -197,10 +197,12 @@ def test_batch_engine_on_mesh_matches_single_device(params):
 
 
 def test_batch_engine_on_mesh_disables_pallas(params, monkeypatch):
-    """Forced-pallas mode must not leak pallas calls into the partitioned
-    step/flush programs (GSPMD cannot partition a pallas_call): the mesh
-    engine traces its programs under pallas_disabled and still produces the
-    unsharded callback stream."""
+    """Forced-pallas mode on a data x model mesh must still produce the
+    unsharded callback stream. Since round 3 the native LSTM family routes
+    TP through shard_map (kernels allowed — ops/lstm_tp_pallas.py; these
+    tiny dims fall back to the XLA TP layer body); families without a TP
+    kernel path trace under pallas_disabled for GSPMD, which must not leak
+    pallas calls into partitioned programs."""
     from april_asr_tpu.engine import BatchEngine
 
     rt = _tiny_runtime(params)
