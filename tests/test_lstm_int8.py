@@ -120,21 +120,28 @@ def test_pallas_chunk_i8_matches_xla_q8(qparams, inputs):
 
 def test_chunk_dispatch_picks_i8_kernel(qparams, inputs, monkeypatch):
     """With Pallas enabled and supported dims, the quantized chunk goes
-    through the int8 kernel (not the bf16 one, not XLA)."""
+    through the int8 split kernels (time-streamed recurrent core + batched
+    FFN/norm — not the bf16 kernel, not XLA)."""
     import april_asr_tpu.ops.lstm_pallas as LP
 
     y, h, c = inputs
     called = {}
-    orig = LP.lstm_layer_chunk_fused_i8
+    orig_rec = LP.lstm_layer_chunk_rec_stream2_i8
+    orig_ffn = LP.ffn_norm_i8
 
-    def spy(*a, **k):
-        called["i8"] = True
-        return orig(*a, **k)
+    def spy_rec(*a, **k):
+        called["rec"] = True
+        return orig_rec(*a, **k)
 
-    monkeypatch.setattr(LP, "lstm_layer_chunk_fused_i8", spy)
+    def spy_ffn(*a, **k):
+        called["ffn"] = True
+        return orig_ffn(*a, **k)
+
+    monkeypatch.setattr(LP, "lstm_layer_chunk_rec_stream2_i8", spy_rec)
+    monkeypatch.setattr(LP, "ffn_norm_i8", spy_ffn)
     monkeypatch.setenv("APRIL_PALLAS", "1")
     M._lstm_stack_chunk(qparams, y, h, c)
-    assert called.get("i8")
+    assert called.get("rec") and called.get("ffn")
 
 
 def test_pallas_step_i8_matches_xla_q8(qparams, inputs):
