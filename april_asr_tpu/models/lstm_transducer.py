@@ -573,12 +573,17 @@ def _lstm_stack_chunk_pallas(
             hseq, h_new, c_new = jax.lax.optimization_barrier(
                 (hseq, h_new, c_new)
             )
+            # 1024-row tiles measured fastest for the batched FFN (39.4 vs
+            # 42.5 ms at 512 / 42.6 at 2048 for 12 layers, S=2048 P=27)
+            ffn_block = next(
+                (b for b in (1024, 512, 256, 128) if (P * S) % b == 0), rec_block
+            )
             y = ffn_norm_i8(
                 y.reshape(P * S, d), hseq.reshape(P * S, d),
                 params["ff1_t_q8"][l], params["ff1_t_q8s"][l], params["ff1_b"][l],
                 params["ff2_t_q8"][l], params["ff2_t_q8s"][l], params["ff2_b"][l],
                 params["norm_eps"][l],
-                block_r=rec_block, interpret=interpret,
+                block_r=ffn_block, interpret=interpret,
             ).reshape(P, S, d)
             y = jax.lax.optimization_barrier(y)
             hs.append(h_new)

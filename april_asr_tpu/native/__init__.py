@@ -28,12 +28,29 @@ _lib_lock = threading.Lock()
 _lib_tried = False
 
 
+def _pkg_dir() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
 def _source_path() -> str:
-    return os.path.join(
+    """april_native.cc: the repo checkout's native/ dir, or the _src/ copy
+    a wheel ships (setup.py BuildPyWithNative)."""
+    repo = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",
         "april_native.cc",
     )
+    if os.path.exists(repo):
+        return repo
+    return os.path.join(_pkg_dir(), "_src", "april_native.cc")
+
+
+def capi_library_path() -> Optional[str]:
+    """Path to the prebuilt C ABI client library (libapril_tpu.so) when this
+    install ships one (wheel builds with a toolchain); None otherwise. C/C#/
+    Java clients can dlopen this directly."""
+    p = os.path.join(_pkg_dir(), "_lib", "libapril_tpu.so")
+    return p if os.path.exists(p) else None
 
 
 def _build(src: str, out: str) -> bool:
@@ -59,6 +76,8 @@ def load_native() -> Optional[ctypes.CDLL]:
         _lib_tried = True
         src = _source_path()
         candidates = [
+            # wheel-shipped prebuilt (setup.py BuildPyWithNative)
+            os.path.join(_pkg_dir(), "_lib", "libapril_native.so"),
             os.path.join(os.path.dirname(src), "libapril_native.so"),
             os.path.join(
                 os.environ.get("APRIL_NATIVE_CACHE", os.path.expanduser("~/.cache/april_asr_tpu")),

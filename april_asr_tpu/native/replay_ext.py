@@ -24,10 +24,16 @@ _lock = threading.Lock()
 
 
 def _source_path() -> str:
-    return os.path.join(
+    repo = os.path.join(
         os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
         "native",
         "replay_ext.c",
+    )
+    if os.path.exists(repo):
+        return repo
+    # wheel install: the _src/ copy shipped by setup.py BuildPyWithNative
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_src", "replay_ext.c"
     )
 
 
@@ -58,6 +64,10 @@ def load_replay_ext():
         src = _source_path()
         soname = "_replay" + (sysconfig.get_config_var("EXT_SUFFIX") or ".so")
         candidates = [
+            # wheel-shipped prebuilt (setup.py BuildPyWithNative)
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "_lib", soname
+            ),
             os.path.join(os.path.dirname(src), soname),
             os.path.join(
                 os.environ.get(

@@ -142,7 +142,12 @@ struct Stretch {
   int sample_rate;
   int min_period;
   int max_period;
-  double speed = 1.0;
+  // atomic: the C contract allows a control thread to adjust speed while a
+  // worker streams (api/session.py's ASYNC_RT split keeps both on the
+  // worker, but the ABI must not rely on that) — a plain double here is a
+  // data race (caught by native/tsan_driver.cc); relaxed ordering is
+  // enough, any recent value is acceptable mid-stream.
+  std::atomic<double> speed{1.0};
   std::vector<int16_t> pending;  // unconsumed input
   std::vector<int16_t> out;      // produced output not yet read
 };
@@ -192,17 +197,20 @@ AN_EXPORT void an_stretch_free(void* st) { delete static_cast<Stretch*>(st); }
 
 AN_EXPORT void an_stretch_set_speed(void* st, double speed) {
   Stretch* s = static_cast<Stretch*>(st);
-  s->speed = speed < 1.0 ? 1.0 : speed;
+  s->speed.store(speed < 1.0 ? 1.0 : speed, std::memory_order_relaxed);
 }
 
 AN_EXPORT double an_stretch_get_speed(void* st) {
-  return static_cast<Stretch*>(st)->speed;
+  return static_cast<Stretch*>(st)->speed.load(std::memory_order_relaxed);
 }
 
 // Feed n input samples. Output becomes readable via an_stretch_read.
 AN_EXPORT void an_stretch_write(void* st, const int16_t* data, uint64_t n) {
   Stretch* s = static_cast<Stretch*>(st);
-  if (s->speed <= 1.0 + 1e-6) {
+  // one load per write call: the whole block is processed at a consistent
+  // speed even if a control thread adjusts it concurrently
+  const double speed = s->speed.load(std::memory_order_relaxed);
+  if (speed <= 1.0 + 1e-6) {
     // passthrough fast path
     if (s->pending.empty()) {
       s->out.insert(s->out.end(), data, data + n);
@@ -210,8 +218,6 @@ AN_EXPORT void an_stretch_write(void* st, const int16_t* data, uint64_t n) {
     }
   }
   s->pending.insert(s->pending.end(), data, data + n);
-
-  const double speed = s->speed;
   size_t pos = 0;
   while (true) {
     size_t avail = s->pending.size() - pos;
@@ -251,14 +257,15 @@ AN_EXPORT void an_stretch_write(void* st, const int16_t* data, uint64_t n) {
 AN_EXPORT void an_stretch_flush(void* st) {
   Stretch* s = static_cast<Stretch*>(st);
   if (s->pending.empty()) return;
-  if (s->speed <= 1.0 + 1e-6) {
+  const double speed = s->speed.load(std::memory_order_relaxed);
+  if (speed <= 1.0 + 1e-6) {
     s->out.insert(s->out.end(), s->pending.begin(), s->pending.end());
   } else {
     // linear-interpolation resample of the short tail
     size_t n_in = s->pending.size();
-    size_t n_out = static_cast<size_t>(n_in / s->speed);
+    size_t n_out = static_cast<size_t>(n_in / speed);
     for (size_t i = 0; i < n_out; ++i) {
-      double t = i * s->speed;
+      double t = i * speed;
       size_t j = static_cast<size_t>(t);
       double frac = t - j;
       double v = j + 1 < n_in

@@ -43,6 +43,60 @@ else
     bad "build april_native extension"
 fi
 
+# -- 1a. TSAN: native host runtime race check --------------------------------
+# (the reference's cautionary tale: its SPSC ring's `#define _Atomic
+# volatile` on MSVC, src/audio_provider.c:25-27; VERDICT r2 item 9)
+note "tsan: native runtime race check"
+if g++ -O2 -g -std=c++17 -fsanitize=thread native/april_native.cc \
+       native/tsan_driver.cc -o "$WORK/tsan_driver" -pthread 2>/dev/null; then
+    if "$WORK/tsan_driver" >"$WORK/tsan.log" 2>&1; then
+        ok "tsan: ring + stretcher clean ($(tail -1 "$WORK/tsan.log"))"
+    else
+        cat "$WORK/tsan.log"; bad "tsan: native runtime race check"
+    fi
+else
+    skip "tsan" "g++ lacks -fsanitize=thread"
+fi
+
+# -- 1b. wheel: build + install into a fresh venv ----------------------------
+# (reference CI packages wheels that ship the .so inside the package,
+# .github/workflows/main.ci.yml:12-126 + bindings/python/setup.py:20-37;
+# here setup.py BuildPyWithNative embeds libapril_native/libapril_tpu/_replay)
+note "building wheel"
+if pip wheel . --no-deps --no-build-isolation -w "$WORK/dist" >"$WORK/wheel.log" 2>&1; then
+    WHEEL=$(ls "$WORK"/dist/*.whl 2>/dev/null | head -1)
+    ok "build wheel ($(basename "$WHEEL"))"
+    # fresh venv; jax/numpy come from the outer environment's site-packages
+    # via PYTHONPATH (zero egress forbids installing them — and PYTHONPATH
+    # does NOT process .pth files, so any editable april install there
+    # cannot shadow the wheel under test)
+    BASE_SITE=$(python -c "import sysconfig; print(sysconfig.get_paths()['purelib'])")
+    if python -m venv "$WORK/venv" >/dev/null 2>&1 \
+       && "$WORK/venv/bin/pip" install --no-deps --no-index -q "$WHEEL" \
+       && cd "$WORK" \
+       && JAX_PLATFORMS=cpu PYTHONPATH="$BASE_SITE" "$WORK/venv/bin/python" - <<'PYEOF'
+import sys
+import april_asr_tpu
+assert "venv" in april_asr_tpu.__file__, f"wrong install resolved: {april_asr_tpu.__file__}"
+from april_asr_tpu.native import capi_library_path, load_native
+from april_asr_tpu.native.replay_ext import load_replay_ext
+assert load_native() is not None, "native runtime missing from wheel"
+assert load_replay_ext() is not None, "replay extension missing from wheel"
+assert capi_library_path(), "C ABI client library missing from wheel"
+print("wheel ok:", april_asr_tpu.__file__)
+print("capi lib:", capi_library_path())
+PYEOF
+    then
+        cd "$REPO"
+        ok "wheel installs in a fresh venv (native libs embedded)"
+    else
+        cd "$REPO"
+        bad "wheel venv install"
+    fi
+else
+    tail -5 "$WORK/wheel.log"; bad "build wheel"
+fi
+
 # -- 2. test suite -----------------------------------------------------------
 if [ "${1:-}" = "--quick" ]; then
     skip "pytest suite" "--quick"
@@ -126,16 +180,21 @@ else
     bad "compile C example"
 fi
 
-# Java surface
-if command -v gradle >/dev/null 2>&1; then
+# Java surface (gradlew bootstraps gradle: PATH -> cache -> download)
+if command -v java >/dev/null 2>&1; then
     if (cd bindings/java && APRIL_SERVE_ENDPOINT="$ENDPOINT" \
-         APRIL_NATIVE_LIB_DIR="$WORK" gradle --console=plain -q test); then
-        ok "java binding (gradle test)"
+         APRIL_NATIVE_LIB_DIR="$WORK" ./gradlew --console=plain -q test); then
+        ok "java binding (gradlew test)"
     else
-        bad "java binding (gradle test)"
+        rc=$?
+        if [ "$rc" = "69" ]; then
+            skip "java binding" "no gradle and no network to bootstrap one"
+        else
+            bad "java binding (gradlew test)"
+        fi
     fi
 else
-    skip "java binding" "no gradle in image"
+    skip "java binding" "no JDK in image"
 fi
 
 # C# surface
