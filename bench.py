@@ -210,6 +210,25 @@ def bench_batch(
     lat = []  # per-step partial-result latency: dispatch -> events replayed
     durs = []  # per-iteration wall time (dispatch + lag-1 replay of prev)
     t_disp = None
+
+    # Watchdog: a wedged transport can stall ONE dispatch for many minutes
+    # (observed: 530+ s), starving the interim salvage entirely. This
+    # daemon thread re-emits the latest measured stats every 20 s so a
+    # parent-side timeout still finds a result line as long as at least one
+    # step ever completed.
+    if interim is not None:
+        import threading
+
+        def _watchdog():
+            last = 0
+            while True:
+                time.sleep(20.0)
+                if len(lat) and len(lat) == last:
+                    interim(list(durs), list(lat), n_events, len(durs))
+                last = len(lat)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
+
     with prof:
         t0 = time.perf_counter()
         t_iter = t0
@@ -337,8 +356,15 @@ def _run_one_subprocess(
         out, _ = proc.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
         timed_out = True
-        proc.kill()
-        out, _ = proc.communicate()  # salvage buffered interim lines
+        # SIGTERM first: give a child whose main thread is wedged in a
+        # blocked transport call a moment to flush buffered interim lines
+        # (the watchdog thread keeps emitting them); SIGKILL as backstop
+        proc.terminate()
+        try:
+            out, _ = proc.communicate(timeout=5)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            out, _ = proc.communicate()  # salvage buffered interim lines
         print(
             f"# config ({S},{chunk_s}) timed out after {timeout_s:.0f}s"
             " (salvaging interim measurements)",
@@ -394,9 +420,9 @@ def _emit_summary():
         if best.get("arch", _arch) == "conformer"
         else "LSTM"
     )
-    lowlat = min(_results, key=lambda r: r["chunk_s"])
+    lowlat = min(_results, key=lambda r: (r["chunk_s"], r["p50"]))
     extra = ""
-    if lowlat is not best:
+    if lowlat is not best and lowlat["chunk_s"] < best["chunk_s"]:
         extra = (
             f"; low-latency point: {lowlat['thr']:,.0f} audio-s/s at "
             f"{lowlat['chunk_s']*1000:.0f} ms chunks, p50 {lowlat['p50']:.0f} ms"
