@@ -236,12 +236,11 @@ def fbank_accept_batch(
             if buf.shape[1] // shift >= layout.max_frames + n_views - 1:
                 # frames formed IN-KERNEL from the hop-row buffer: no
                 # [S, F, padded] intermediate, no XLA view gathers/copies
-                # (~7 ms of data movement per step at S=2048). 32-session
-                # tiles measured fastest (35.9 vs 44.4 ms per call at 8).
-                bs = next((b for b in (32, 16, 8) if S % b == 0), 8)
-                rows = logmel_rows_from_buf(
-                    layout, buf, block_s=bs, interpret=interp
-                )
+                # (~7 ms of data movement per step at S=2048). 8-session
+                # tiles measured fastest by DEVICE time (6.08 vs 6.76 ms
+                # per step at 32 — wall-clock micro A/Bs through the remote
+                # tunnel are RTT-dominated and misleading here)
+                rows = logmel_rows_from_buf(layout, buf, interpret=interp)
             else:
                 frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
                 rows = logmel_rows_fused(layout, frames, interpret=interp)

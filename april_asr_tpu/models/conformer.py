@@ -33,6 +33,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lstm_transducer import (
     Params,
@@ -397,7 +398,6 @@ def conformer_encoder_chunk(
         # j+1+r_s, valid iff that frame exists (r_s <= pos-1) and is in
         # context (distance <= C-1 ⇔ r_s <= C-2-j)
         r = (ipos[:, None] - 1 - s_idx[None, :]) % C  # [S, C]
-        dist_ring = j_idx[None, :, None] + 1 + r[:, None, :]  # [S, P, C]
         ring_valid = r[:, None, :] <= jnp.minimum(
             ipos[:, None, None] - 1, C - 2 - j_idx[None, :, None]
         )
@@ -405,9 +405,29 @@ def conformer_encoder_chunk(
             "sphd,schd->shpc", q, kc.reshape(S, C, H, dk),
             preferred_element_type=jnp.float32,
         ) * (dk ** -0.5)
-        sc_ring = sc_ring + jnp.transpose(
-            bias[:, jnp.clip(dist_ring, 0, C - 1)], (1, 0, 2, 3)
-        )
+        # Ring bias WITHOUT the [S, P, C]-indexed gather (bias[:, dist_ring]
+        # lowered to a ~38 ms/layer serial gather at S=1024 — measured; it
+        # was HALF the Conformer step). dist = j + 1 + r depends on the
+        # session only through phase = (pos-1) mod C, so: (1) tiny static
+        # gather BJ[h, j, rr] = bias[h, min(j+1+rr, C-1)]; (2) rearrange rr
+        # -> ring slot per phase with a constant one-hot einsum; (3) select
+        # each session's phase row by one-hot matmul. One-hot f32 matmuls
+        # select rows exactly, so this is value-identical to the gather.
+        phase = (ipos - 1) % C  # [S]
+        jr = np.minimum(np.arange(P)[:, None] + 1 + np.arange(C)[None, :], C - 1)
+        BJ = bias[:, jr]  # [H, P, C(rr)] — static [P, C] index gather
+        oh_pcr = jnp.asarray(
+            (np.arange(C)[:, None, None] - np.arange(C)[None, :, None]) % C
+            == np.arange(C)[None, None, :],
+            jnp.float32,
+        )  # [C(phase), C(slot), C(rr)]
+        BJ2 = jnp.einsum(
+            "pcr,hjr->phjc", oh_pcr, BJ, preferred_element_type=jnp.float32
+        )  # [C(phase), H, P, C(slot)]
+        oh_s = (phase[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
+        sc_ring = sc_ring + jnp.dot(
+            oh_s, BJ2.reshape(C, H * P * C), preferred_element_type=jnp.float32
+        ).reshape(S, H, P, C)
         sc_ring = jnp.where(ring_valid[:, None], sc_ring, -jnp.inf)
 
         sc_chunk = jnp.einsum(
@@ -470,7 +490,19 @@ def conformer_encoder_chunk(
         return y_out, (h_l, c_l)
 
     stacked = _stacked_params(params)
-    x, (h_new, c_new) = jax.lax.scan(layer, x, (stacked, h, c))
+    # Layers unrolled in Python (NOT lax.scan): scanning makes every layer's
+    # 128 MB KV state a dynamic-slice of h[L, S, 2Cd] that XLA materializes
+    # with a layout round-trip and writes back with dynamic-update-slice —
+    # measured ~18 ms/step of pure state movement at S=1024. Static h[l]
+    # slices read/write in place.
+    hs, cs = [], []
+    for l in range(dims.layers):
+        p_l = {k: v[l] for k, v in stacked.items()}
+        x, (h_l, c_l) = layer(x, (p_l, h[l], c[l]))
+        hs.append(h_l)
+        cs.append(c_l)
+    h_new = jnp.stack(hs)
+    c_new = jnp.stack(cs)
     eout = _mm(x, params["enc_proj_t"]) + params["enc_proj_b"].astype(jnp.float32)
     return jnp.transpose(eout, (1, 0, 2)), h_new, c_new
 
