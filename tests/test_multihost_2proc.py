@@ -26,6 +26,7 @@ WORKER = r"""
 import json, os, sys
 
 port, pid_, out_path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+mpar = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
@@ -70,8 +71,12 @@ rt = ModelRuntime(
 )
 
 S = 8
-mesh = make_mesh(model_parallel=1)
+mesh = make_mesh(model_parallel=mpar)
 eng = BatchEngine(rt, batch=S, mesh=mesh)
+if mpar > 1:
+    # must have routed through the multi-process shard_map TP placement
+    # (gate-shuffled weights materialized via jit out_shardings)
+    assert eng.prog.tp_axes == ("model",), eng.prog.tp_axes
 lo, hi = local_slot_range(S, mesh)
 assert hi - lo == 4, (lo, hi)
 
@@ -111,7 +116,7 @@ def _free_port():
     return port
 
 
-def test_two_process_engine_matches_single_process(tmp_path):
+def _run_two_process(tmp_path, model_parallel):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)
     port = _free_port()
@@ -128,7 +133,8 @@ def test_two_process_engine_matches_single_process(tmp_path):
         outs.append(out)
         procs.append(
             subprocess.Popen(
-                [sys.executable, str(worker), str(port), str(pid_), str(out)],
+                [sys.executable, str(worker), str(port), str(pid_), str(out),
+                 str(model_parallel)],
                 cwd=REPO, env=env,
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             )
@@ -203,3 +209,17 @@ def test_two_process_engine_matches_single_process(tmp_path):
     ref_json = json.loads(json.dumps([[list(c) for c in s] for s in ref]))
     for i in range(S):
         assert combined[i] == ref_json[i], f"slot {i} diverged across hosts"
+
+
+def test_two_process_engine_matches_single_process(tmp_path):
+    _run_two_process(tmp_path, model_parallel=1)
+
+
+def test_two_process_engine_tensor_parallel(tmp_path):
+    """2 processes x (data=4, model=2) mesh: the multi-process shard_map TP
+    placement (gate-shuffled weights materialized on non-addressable devices
+    via jit out_shardings, cell state sharded over the model axis, explicit
+    per-layer psums crossing process boundaries) must reproduce the
+    single-process callback streams exactly. The worker asserts the engine
+    actually took the TP path (prog.tp_axes == ('model',))."""
+    _run_two_process(tmp_path, model_parallel=2)
