@@ -47,10 +47,9 @@ SessionCallback = Callable[[Result, List[Token]], None]
 
 
 def _speaker_dir() -> str:
-    return os.environ.get(
-        "APRIL_SPEAKER_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "april_asr_tpu", "speakers"),
-    )
+    from ..engine.speaker import speaker_dir
+
+    return speaker_dir()
 
 
 class Session:
@@ -255,47 +254,19 @@ class Session:
             self._update_speed(time.monotonic() - t0)
 
     # -- speaker state (reference api reserved but unimplemented;
-    #    april_api.h:78-84,194-196 — implemented here for real) ------------
-
-    def _speaker_path(self) -> str:
-        h = hashlib.sha256(
-            (self.model.get_name() + "\0" + self.speaker_name).encode()
-        ).hexdigest()[:32]
-        return os.path.join(_speaker_dir(), f"{h}.npz")
+    #    april_api.h:78-84,194-196 — implemented here for real, shared with
+    #    the wire-protocol server via engine/speaker.py) -------------------
 
     def _save_speaker(self) -> None:
-        try:
-            os.makedirs(_speaker_dir(), exist_ok=True)
-            st = self._engine.state
-            i = self._slot
-            np.savez(
-                self._speaker_path(),
-                h=np.asarray(st["h"])[:, i],
-                c=np.asarray(st["c"])[:, i],
-                context=np.asarray(st["decode"]["context"])[i],
-                dout=np.asarray(st["decode"]["dout"])[i],
-            )
-        except Exception as e:  # never fail a close on snapshot errors
-            log.warning("speaker state save failed: %s", e)
+        from ..engine.speaker import save_speaker_state
+
+        save_speaker_state(
+            self._engine, self._slot, self.model.get_name(), self.speaker_name
+        )
 
     def _try_restore_speaker(self) -> None:
-        path = self._speaker_path()
-        if not os.path.exists(path):
-            return
-        try:
-            data = np.load(path)
-            import jax.numpy as jnp
+        from ..engine.speaker import restore_speaker_state
 
-            st = self._engine.state
-            i = self._slot
-            st["h"] = st["h"].at[:, i].set(jnp.asarray(data["h"]))
-            st["c"] = st["c"].at[:, i].set(jnp.asarray(data["c"]))
-            st["decode"]["context"] = (
-                st["decode"]["context"].at[i].set(jnp.asarray(data["context"]))
-            )
-            st["decode"]["dout"] = (
-                st["decode"]["dout"].at[i].set(jnp.asarray(data["dout"]))
-            )
-            log.info("restored speaker state for %r", self.speaker_name)
-        except Exception as e:
-            log.warning("speaker state restore failed: %s", e)
+        restore_speaker_state(
+            self._engine, self._slot, self.model.get_name(), self.speaker_name
+        )

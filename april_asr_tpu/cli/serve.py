@@ -19,6 +19,13 @@ Protocol (client -> server), little-endian framed:
                much faster than realtime its audio must be consumed for the
                engine to keep up (reference aas_realtime_get_speedup,
                april_api.h:188-192; >1 means the session is falling behind)
+    opcode 6 = speaker id (payload: UTF-8 speaker key, sent BEFORE audio)
+               -> restores that speaker's saved session state (LSTM state +
+               decoder context) into this session's slot and snapshots it
+               back on disconnect — the reference reserved AprilConfig
+               .speaker but never implemented it (april_api.h:78-84); here
+               it works from every binding. Replies {"speaker": "restored"}
+               or {"speaker": "new"}.
 Server -> client: newline-delimited JSON:
     {"result": "partial"|"final"|"silence"|"cant_keep_up",
      "text": "...", "tokens": [{"t": str, "lp": float, "wb": bool,
@@ -145,6 +152,7 @@ class _Handler(socketserver.BaseRequestHandler):
         # so info/metrics polls work (and cost nothing) even when every slot
         # is occupied — the exact overload condition metrics diagnose
         slot = None
+        speaker_key = None
 
         def ensure_slot():
             nonlocal slot
@@ -187,6 +195,24 @@ class _Handler(socketserver.BaseRequestHandler):
                     }
                     with send_lock:
                         sock.sendall((json.dumps(info) + "\n").encode())
+                elif opcode == 6:
+                    from ..engine.speaker import restore_speaker_state
+
+                    try:
+                        s = ensure_slot()
+                    except RuntimeError:
+                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        return
+                    speaker_key = payload.decode("utf-8", errors="replace")
+                    restored = restore_speaker_state(
+                        engine, s, self.server.model_info["name"], speaker_key
+                    )
+                    with send_lock:
+                        sock.sendall(
+                            (json.dumps(
+                                {"speaker": "restored" if restored else "new"}
+                            ) + "\n").encode()
+                        )
                 elif opcode == 5:
                     sp = engine.rt_speedup(slot) if slot is not None else 1.0
                     with send_lock:
@@ -208,6 +234,12 @@ class _Handler(socketserver.BaseRequestHandler):
                     break
         finally:
             if slot is not None:
+                if speaker_key:
+                    from ..engine.speaker import save_speaker_state
+
+                    save_speaker_state(
+                        engine, slot, self.server.model_info["name"], speaker_key
+                    )
                 engine.free(slot)
 
     def _recv_exact(self, n):

@@ -387,6 +387,20 @@ extern "C" AprilASRSession aas_create_session(AprilASRModel model,
   }
   s->fd = fd;
   s->config = config;
+  // Speaker id: forward a non-zero AprilConfig.speaker to the server
+  // (opcode 6) so its saved session state is restored into this slot and
+  // snapshotted back on disconnect. The reference reserved this field but
+  // never implemented it (reference april_api.h:78-84); here it has effect
+  // from every binding.
+  bool has_speaker = false;
+  for (unsigned char b : config.speaker.data) has_speaker |= (b != 0);
+  if (has_speaker) {
+    char hex[33];
+    for (int i = 0; i < 16; ++i)
+      std::snprintf(hex + 2 * i, 3, "%02x", config.speaker.data[i]);
+    std::lock_guard<std::mutex> lk(s->send_mu);
+    send_frame(fd, 6, hex, 32);
+  }
   s->reader = std::thread([s] { s->reader_loop(); });
   return s;
 }

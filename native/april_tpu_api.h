@@ -10,6 +10,10 @@
  *     accepts "tcp://host:port"); a filesystem path is an error.
  *   - every session behaves like the reference's ARPIL_CONFIG_FLAG_ASYNC_NO_RT
  *     mode: the handler fires on a background reader thread.
+ *   - AprilConfig.speaker (reserved-but-unimplemented in the reference,
+ *     april_api.h:78-84) has a real effect: a non-zero id is forwarded to
+ *     the server, which restores that speaker's saved session state into
+ *     the slot and snapshots it back on disconnect.
  *   - aas_realtime_get_speedup() queries the server (opcode 5) for this
  *     session's live estimate: how much faster than realtime its audio must
  *     be consumed for the engine to keep up (>1 = falling behind; the

@@ -230,6 +230,86 @@ def test_speedup_reported_under_forced_slowdown(capi_lib, tmp_path):
         server.shutdown()
 
 
+def test_speaker_opcode_roundtrip(tmp_path, monkeypatch):
+    """opcode 6: a speaker key restores saved session state across
+    connections (the reference reserved AprilConfig.speaker but never
+    implemented it — april_api.h:78-84; over the wire it works for every
+    binding). First connection reports 'new' and snapshots on disconnect;
+    the second reports 'restored' and the slot's carried LSTM state equals
+    the snapshot."""
+    import json
+    import socket
+    import struct
+
+    from april_asr_tpu.api import Model
+    from april_asr_tpu.cli.serve import _Handler, _Server
+    from april_asr_tpu.engine.batch import BatchEngine
+    from april_asr_tpu.engine.speaker import speaker_path
+    from april_asr_tpu.testing import FixtureConfig, write_test_april
+
+    monkeypatch.setenv("APRIL_SPEAKER_CACHE", str(tmp_path / "spk"))
+    path = tmp_path / "fixture.april"
+    write_test_april(path, FixtureConfig())
+    model = Model(path)
+    engine = BatchEngine(model.runtime, batch=2)
+    server = _Server(
+        ("127.0.0.1", 0), _Handler, engine, model.runtime.params,
+        model_info={
+            "name": model.get_name(), "description": "", "language": "en",
+            "sample_rate": model.get_sample_rate(),
+        },
+    )
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(5)
+        pcm = (rng.normal(0, 0.2, 16000) * 20000).astype(np.int16).tobytes()
+
+        def connect():
+            s = socket.create_connection(("127.0.0.1", port), timeout=120)
+            s.settimeout(120)
+            return s, s.makefile()
+
+        # connection 1: new speaker, stream audio, disconnect (snapshots)
+        s, f = connect()
+        s.sendall(struct.pack("<BI", 6, 5) + b"alice")
+        assert json.loads(f.readline())["speaker"] == "new"
+        s.sendall(struct.pack("<BI", 1, len(pcm)) + pcm)
+        s.sendall(struct.pack("<BI", 2, 0))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if json.loads(f.readline()).get("result") == "final":
+                break
+        f.close()  # makefile() dups the fd — close both so the server sees EOF
+        s.close()
+
+        import os
+
+        snap_file = speaker_path(model.get_name(), "alice")
+        deadline = time.time() + 60
+        while time.time() < deadline and not os.path.exists(snap_file):
+            time.sleep(0.1)
+        assert os.path.exists(snap_file), "disconnect did not snapshot"
+        saved_h = np.load(snap_file)["h"]
+        assert np.abs(saved_h).max() > 0, "snapshot carried no state"
+
+        # connection 2: same speaker restores the carried state
+        s, f = connect()
+        s.sendall(struct.pack("<BI", 6, 5) + b"alice")
+        assert json.loads(f.readline())["speaker"] == "restored"
+        # the restoring connection owns one of the two slots; its h row now
+        # equals the snapshot
+        h_now = np.asarray(engine.state["h"])
+        assert any(
+            np.allclose(h_now[:, i], saved_h) for i in range(engine.batch)
+        ), "restored slot state does not match the snapshot"
+        f.close()
+        s.close()
+    finally:
+        server.shutdown()
+
+
 def test_metrics_opcode(tmp_path):
     """opcode 4 returns a metrics snapshot with engine counters populated."""
     import json
