@@ -167,7 +167,14 @@ class Session:
 
     def get_rt_speedup(self) -> float:
         """Realtime speedup estimate (aas_realtime_get_speedup,
-        april_api.h:188-192); 1.0 unless ASYNC_RT and falling behind."""
+        april_api.h:188-192); 1.0 unless ASYNC_RT and falling behind.
+
+        Deviation from the reference: the reference times each session's own
+        inference loop (april_session.c:456-462). Under batching there is no
+        per-session loop — the estimate here is the engine-wide tick EMA
+        scaled by this session's staged backlog (engine/batch.py
+        rt_speedup), which tracks the same "how much faster than realtime
+        must this stream be consumed" quantity per slot."""
         return float(self._speed_needed) if self.force_realtime else 1.0
 
     def close(self) -> None:

@@ -104,7 +104,16 @@ class _Server(socketserver.ThreadingTCPServer):
             self._prof = trace(self._profile_dir)
             self._prof.__enter__()
         while True:
-            if not self.engine.tick():
+            # tick() contains/recovers program failures internally, but any
+            # escaping exception must not kill this thread — a dead tick loop
+            # accepts audio forever and never processes it
+            try:
+                ticked = self.engine.tick()
+            except Exception as e:  # noqa: BLE001 - keep serving
+                print(f"tick loop error (continuing): {e!r}", file=sys.stderr)
+                time.sleep(0.1)
+                continue
+            if not ticked:
                 time.sleep(0.005)
             elif self._prof is not None:
                 traced += 1
@@ -154,6 +163,15 @@ class _Handler(socketserver.BaseRequestHandler):
         slot = None
         speaker_key = None
 
+        def send_error():
+            # under send_lock like every other reply: a concurrent replay
+            # callback write must not interleave mid-line in the NDJSON stream
+            with send_lock:
+                try:
+                    sock.sendall(b'{"error": "no free session slots"}\n')
+                except OSError:
+                    pass
+
         def ensure_slot():
             nonlocal slot
             if slot is None:
@@ -173,13 +191,13 @@ class _Handler(socketserver.BaseRequestHandler):
                     try:
                         engine.feed(ensure_slot(), np.frombuffer(payload, dtype="<i2"))
                     except RuntimeError:
-                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        send_error()
                         return
                 elif opcode == 2:
                     try:
                         s = ensure_slot()
                     except RuntimeError:
-                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        send_error()
                         return
                     mask = np.zeros(engine.batch, bool)
                     mask[s] = True
@@ -201,7 +219,7 @@ class _Handler(socketserver.BaseRequestHandler):
                     try:
                         s = ensure_slot()
                     except RuntimeError:
-                        sock.sendall(b'{"error": "no free session slots"}\n')
+                        send_error()
                         return
                     speaker_key = payload.decode("utf-8", errors="replace")
                     restored = restore_speaker_state(

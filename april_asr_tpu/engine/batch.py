@@ -153,7 +153,9 @@ class BatchEngine:
                     for ax in tp_axes:
                         m *= mesh.shape[ax]
                     shuffled = shuffle_gate_columns(rt.weights, m)
-                    specs_w = tp_param_specs(shuffled)
+                    specs_w = tp_param_specs(
+                        shuffled, tp_axes if len(tp_axes) != 1 else tp_axes[0]
+                    )
                     w_shardings = {
                         k: NamedSharding(mesh, specs_w[k]) for k in shuffled
                     }
@@ -284,10 +286,14 @@ class BatchEngine:
             type(exc).__name__, exc,
         )
         log.metrics.incr("engine_step_retries")
-        bad = self._scrub_impl()
-        if bad:
-            log.warning("containment: evicted %d poisoned slot(s)", len(bad))
         try:
+            # the scrub itself dispatches a device program — if the original
+            # failure was a wedged transport/device it throws too, and must
+            # route to full recovery instead of escaping tick() and killing
+            # the caller's serving loop
+            bad = self._scrub_impl()
+            if bad:
+                log.warning("containment: evicted %d poisoned slot(s)", len(bad))
             run(bad)
             return True
         except Exception as exc2:  # noqa: BLE001 - any program failure

@@ -40,14 +40,17 @@ def save_speaker_state(engine, slot: int, model_name: str, speaker_key: str) -> 
     (a failed snapshot must not fail a session close); returns success."""
     try:
         os.makedirs(speaker_dir(), exist_ok=True)
-        st = engine.state
-        np.savez(
-            speaker_path(model_name, speaker_key),
-            h=np.asarray(st["h"])[:, slot],
-            c=np.asarray(st["c"])[:, slot],
-            context=np.asarray(st["decode"]["context"])[slot],
-            dout=np.asarray(st["decode"]["dout"])[slot],
-        )
+        # _step_lock: the serve tick thread mutates engine.state concurrently;
+        # snapshot a consistent post-step state, not a mid-transition one.
+        with engine._step_lock:
+            st = engine.state
+            rows = {
+                "h": np.asarray(st["h"])[:, slot],
+                "c": np.asarray(st["c"])[:, slot],
+                "context": np.asarray(st["decode"]["context"])[slot],
+                "dout": np.asarray(st["decode"]["dout"])[slot],
+            }
+        np.savez(speaker_path(model_name, speaker_key), **rows)
         return True
     except Exception as e:  # never fail a close on snapshot errors
         log.warning("speaker state save failed: %s", e)
@@ -66,18 +69,21 @@ def restore_speaker_state(
         import jax.numpy as jnp
 
         data = np.load(path)
-        st = engine.state
-        st = dict(st)
-        st["decode"] = dict(st["decode"])
-        st["h"] = st["h"].at[:, slot].set(jnp.asarray(data["h"]))
-        st["c"] = st["c"].at[:, slot].set(jnp.asarray(data["c"]))
-        st["decode"]["context"] = (
-            st["decode"]["context"].at[slot].set(jnp.asarray(data["context"]))
-        )
-        st["decode"]["dout"] = (
-            st["decode"]["dout"].at[slot].set(jnp.asarray(data["dout"]))
-        )
-        engine.state = st
+        # _step_lock: the read-modify-write of engine.state must not
+        # interleave with a concurrent tick — a tick completing between the
+        # read and the assignment would be silently rewound for EVERY slot.
+        with engine._step_lock:
+            st = dict(engine.state)
+            st["decode"] = dict(st["decode"])
+            st["h"] = st["h"].at[:, slot].set(jnp.asarray(data["h"]))
+            st["c"] = st["c"].at[:, slot].set(jnp.asarray(data["c"]))
+            st["decode"]["context"] = (
+                st["decode"]["context"].at[slot].set(jnp.asarray(data["context"]))
+            )
+            st["decode"]["dout"] = (
+                st["decode"]["dout"].at[slot].set(jnp.asarray(data["dout"]))
+            )
+            engine.state = st
         log.info("restored speaker state for %r", speaker_key)
         return True
     except Exception as e:

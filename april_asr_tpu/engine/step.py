@@ -571,7 +571,10 @@ def build_engine(
             else:
                 from ..parallel.tp import tp_param_specs
 
-                w_specs = tp_param_specs(rt.weights)
+                w_specs = tp_param_specs(
+                    rt.weights,
+                    tp_axes if len(tp_axes) != 1 else tp_axes[0],
+                )
             step_sm = _shard_map(
                 step,
                 mesh=mesh,

@@ -35,6 +35,8 @@ _GATE_KEYS = ("w_ih_t", "w_hh_t", "bias", "w_ih_t_q8", "w_ih_t_q8s",
 # shard_map TP specs: ONLY the encoder LSTM stack is tensor-parallel; the
 # conv embed, decoder, and joiner are tiny and stay replicated (they run
 # identically on every model shard — deterministic, so event outputs agree).
+# Written against the canonical axis name 'model'; tp_param_specs rewrites
+# the axis to the mesh's actual model-axis name(s).
 _TP_SPECS: Dict[str, P] = {
     "w_ih_t": P(None, None, "model"),
     "w_hh_t": P(None, None, "model"),
@@ -90,10 +92,16 @@ def shuffle_gate_columns(params: Dict, m: int) -> Dict:
     return out
 
 
-def tp_param_specs(params: Dict) -> Dict[str, P]:
+def tp_param_specs(params: Dict, model_axis="model") -> Dict[str, P]:
     """PartitionSpec per param for the shard_map TP path (gate-shuffled
-    layout); anything not in the TP table is replicated."""
-    return {k: _TP_SPECS.get(k, P()) for k in params}
+    layout); anything not in the TP table is replicated. `model_axis` is the
+    mesh's actual model-axis name (a string, or a tuple of names for meshes
+    whose model dimension spans several axes) — MeshConfig.model_axis is
+    configurable, so the canonical 'model' in the table is rewritten."""
+    def fix(spec: P) -> P:
+        return P(*(model_axis if e == "model" else e for e in spec))
+
+    return {k: fix(_TP_SPECS.get(k, P())) for k in params}
 
 
 def tp_shard_map_eligible(params: Dict, dims) -> bool:
@@ -107,13 +115,16 @@ def tp_shard_map_eligible(params: Dict, dims) -> bool:
 
 def prepare_tp_weights(params: Dict, mesh: Mesh) -> Dict:
     """Gate-shuffle + place weights for the shard_map TP engine: sharded
-    per tp_param_specs over `mesh` (model axis = mesh.axis_names[1:],
-    assumed single name 'model' as built by make_mesh)."""
+    per tp_param_specs over `mesh` (model axes = mesh.axis_names[1:],
+    whatever they are named)."""
+    model_axes = tuple(mesh.axis_names[1:])
     m = 1
-    for ax in mesh.axis_names[1:]:
+    for ax in model_axes:
         m *= mesh.shape[ax]
     shuffled = shuffle_gate_columns(params, m)
-    specs = tp_param_specs(shuffled)
+    specs = tp_param_specs(
+        shuffled, model_axes if len(model_axes) != 1 else model_axes[0]
+    )
     return {
         k: jax.device_put(v, NamedSharding(mesh, specs[k]))
         for k, v in shuffled.items()

@@ -426,7 +426,12 @@ extern "C" float aas_realtime_get_speedup(AprilASRSession s) {
   }
   {
     std::lock_guard<std::mutex> lk(s->send_mu);
-    if (!send_frame(s->fd, 5, nullptr, 0)) return s->speedup;
+    if (!send_frame(s->fd, 5, nullptr, 0)) {
+      // fallback read under sp_mu, not send_mu: the reader thread writes
+      // speedup under sp_mu, so this read must take the same lock
+      std::lock_guard<std::mutex> splk(s->sp_mu);
+      return s->speedup;
+    }
   }
   std::unique_lock<std::mutex> lk(s->sp_mu);
   // wait briefly for the fresh sample; fall back to the last known value
