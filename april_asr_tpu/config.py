@@ -124,6 +124,13 @@ class EngineConfig:
     weight_dtype: str = "float32"
     # Compute dtype for activations/state.
     state_dtype: str = "float32"
+    # Per-session event-cell budget for the compacted device->host event
+    # blob (engine/step.pack_events). 0 = auto: max(8, ceil(0.6 * pulls)),
+    # comfortably above the ~0.5 events/pull a saturated real-speech stream
+    # sustains. When a step's total events exceed S * budget the host
+    # transparently falls back to reading the dense event tensor for that
+    # step (correctness is never budget-dependent; only transfer size is).
+    events_per_session: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -30,26 +30,53 @@ from .step import EngineProgram, build_engine, init_engine_state
 
 
 def replay_packed(packed, slots) -> int:
-    """Replay a packed event tensor (see step.pack_events) into per-slot
-    replayers.
+    """Replay step/flush event outputs into per-slot replayers.
+
+    `packed` is either a step.PackedEvents (compact blob + device-resident
+    dense fallback — the serving format) or a raw dense tensor [S, R, 2I+1].
+    Only the blob crosses the device->host link on the common path; the
+    dense tensor is transferred just for sub-blobs whose event count
+    overflowed the compact budget.
 
     Fast path: the native CPython extension (native/replay_ext.c) scans the
-    int32 tensor and applies window ops / fires callbacks in C (~0.5 us per
-    event vs ~3.5 us for the Python loop below — at >20k events/step the
-    Python loop, not the TPU, is the serving bottleneck). Returns the number
-    of events applied. `slots` is indexable by session; entries may be None
-    (freed) or expose `.replayer`.
+    buffer and applies window ops / fires callbacks in C (~0.5 us per event
+    vs ~3.5 us for the Python loop — at >20k events/step the Python loop,
+    not the TPU, is the serving bottleneck). Returns the number of events
+    applied. `slots` is indexable by session; entries may be None (freed)
+    or expose `.replayer`.
     """
+    from .step import PackedEvents, iter_blobs
+
+    if not isinstance(packed, PackedEvents):
+        return _replay_dense(np.asarray(packed), slots)
+
+    arr = np.ascontiguousarray(np.asarray(packed.blob), dtype=np.int32)
+    n = 0
+    dense = None  # transferred lazily, once, only on overflow
+    for base, sub in iter_blobs(arr):
+        S = int(sub[1])
+        K = int(sub[2])
+        if int(sub[4 : 4 + S].sum()) > K:
+            if dense is None:
+                dense = np.asarray(packed.dense)
+            log.metrics.incr("event_blob_overflows")
+            n += _replay_dense(dense[base : base + S], slots[base : base + S])
+        else:
+            n += _replay_blob(sub, slots[base : base + S])
+    return n
+
+
+def _replay_dense(arr: np.ndarray, slots) -> int:
     from ..native.replay_ext import load_replay_ext
     from .step import unpack_events_np
 
     ext = load_replay_ext()
     if ext is not None:
-        arr = np.ascontiguousarray(np.asarray(packed), dtype=np.int32)
+        arr = np.ascontiguousarray(arr, dtype=np.int32)
         S, P, width = arr.shape
         return ext.replay(arr.data, S, P, (width - 1) // 2, slots)
 
-    ev_np = unpack_events_np(packed)
+    ev_np = unpack_events_np(arr)
     ops = ev_np["ops"]
     coords = np.argwhere(ops != 0)
     if coords.size == 0:
@@ -64,6 +91,35 @@ def replay_packed(packed, slots) -> int:
         slot.replayer.apply(
             int(ops[s, p, j]), int(tok[s, p, j]), float(lp[s, p, j]),
             int(fl[s, p, j]), int(tm[s, p]), int(fk[s, p, j]),
+        )
+        n += 1
+    return n
+
+
+def _replay_blob(sub: np.ndarray, slots) -> int:
+    """Replay one non-overflowed sub-blob (see step.py blob layout)."""
+    from ..native.replay_ext import load_replay_ext
+    from .step import unpack_blob_np
+
+    ext = load_replay_ext()
+    if ext is not None and hasattr(ext, "replay_blob"):
+        sub = np.ascontiguousarray(sub, dtype=np.int32)
+        return ext.replay_blob(sub.data, slots)
+
+    ev = unpack_blob_np(sub)
+    n = 0
+    stride = ev["stride"]
+    base_time, sess = ev["base_time"], ev["session"]
+    for k in range(ev["total"]):
+        s = int(sess[k])
+        slot = slots[s]
+        if slot is None:
+            continue
+        slot.replayer.apply(
+            int(ev["ops"][k]), int(ev["tok"][k]), float(ev["logprob"][k]),
+            int(ev["flags"][k]),
+            int(base_time[s]) + int(ev["dt"][k]) * stride,
+            int(ev["final_k"][k]),
         )
         n += 1
     return n
@@ -526,11 +582,40 @@ class BatchEngine:
 
     # -- event replay ------------------------------------------------------
 
-    def _replay(self, packed_events: jnp.ndarray) -> None:
-        if self._multiprocess:
-            # only this host's addressable shards are readable; replay them
-            # into the matching local slot range (dedupe row ranges that the
-            # model axis replicates across devices)
+    def _replay(self, packed_events) -> None:
+        from .step import PackedEvents
+
+        if self._multiprocess and isinstance(packed_events, PackedEvents):
+            # only this host's addressable sub-blobs are readable; each
+            # device shard of the blob is one self-describing sub-blob
+            # (dedupe model-axis replicas by start offset)
+            n = 0
+            dense_by_row = None
+            seen = set()
+            for sh in packed_events.blob.addressable_shards:
+                start = sh.index[0].start or 0
+                if start in seen:
+                    continue
+                seen.add(start)
+                sub = np.ascontiguousarray(np.asarray(sh.data), np.int32)
+                S_loc, K_loc = int(sub[1]), int(sub[2])
+                base = (start // sub.shape[0]) * S_loc
+                if int(sub[4 : 4 + S_loc].sum()) > K_loc:
+                    if dense_by_row is None:
+                        dense_by_row = {}
+                        for dsh in packed_events.dense.addressable_shards:
+                            ds = dsh.index[0].start or 0
+                            dense_by_row.setdefault(ds, dsh)
+                    log.metrics.incr("event_blob_overflows")
+                    n += _replay_dense(
+                        np.asarray(dense_by_row[base].data),
+                        self.slots[base : base + S_loc],
+                    )
+                else:
+                    n += _replay_blob(sub, self.slots[base : base + S_loc])
+        elif self._multiprocess:
+            # dense-format programs (GSPMD fallback path): replay this
+            # host's addressable row ranges
             by_start = {}
             for sh in packed_events.addressable_shards:
                 start = sh.index[0].start or 0

@@ -143,6 +143,126 @@ static PyTypeObject Token_Type = {
 };
 
 /* ------------------------------------------------------------------ */
+/* shared per-cell application (dense tensor and compact blob replay) */
+
+typedef struct {
+    PyObject *res_partial, *res_final, *res_silence, *empty;
+} ReplayCtx;
+
+static int ctx_init(ReplayCtx *ctx)
+{
+    ctx->res_partial = PyLong_FromLong(RESULT_PARTIAL);
+    ctx->res_final = PyLong_FromLong(RESULT_FINAL);
+    ctx->res_silence = PyLong_FromLong(RESULT_SILENCE);
+    ctx->empty = PyTuple_New(0);
+    return (ctx->res_partial && ctx->res_final && ctx->res_silence && ctx->empty)
+               ? 0
+               : -1;
+}
+
+static void ctx_free(ReplayCtx *ctx)
+{
+    Py_XDECREF(ctx->res_partial);
+    Py_XDECREF(ctx->res_final);
+    Py_XDECREF(ctx->res_silence);
+    Py_XDECREF(ctx->empty);
+}
+
+/* fetch slot s's replayer.tokens/on_result; 1 = got them, 0 = slot is None,
+ * -1 = error */
+static int slot_replayer(PyObject *slots, Py_ssize_t s, PyObject **toks,
+                         PyObject **on_result)
+{
+    PyObject *slot = PySequence_GetItem(slots, s); /* new ref */
+    if (!slot) return -1;
+    if (slot == Py_None) { Py_DECREF(slot); return 0; }
+    PyObject *replayer = PyObject_GetAttrString(slot, "replayer");
+    Py_DECREF(slot);
+    if (!replayer) return -1;
+    *toks = PyObject_GetAttrString(replayer, "tokens");
+    *on_result = PyObject_GetAttrString(replayer, "on_result");
+    Py_DECREF(replayer);
+    if (!*toks || !*on_result || !PyList_Check(*toks)) {
+        Py_XDECREF(*toks);
+        Py_XDECREF(*on_result);
+        if (!PyErr_Occurred())
+            PyErr_SetString(PyExc_TypeError, "replayer.tokens must be a list");
+        return -1;
+    }
+    return 1;
+}
+
+/* apply one event cell; 0 ok, -1 failure (Python error set) */
+static int apply_cell(PyObject *toks, PyObject *on_result, ReplayCtx *ctx,
+                      int32_t w0, float logprob, long time_ms)
+{
+    int ops = w0 & 0x7F;
+    int flags = (w0 >> 7) & 0x3;
+    Py_ssize_t final_k = (w0 >> 9) & 0x7F;
+    int tok = (w0 >> 16) & 0x3FFF;
+
+    if (ops & OP_FIX_PREV_EOS) {
+        Py_ssize_t len = PyList_GET_SIZE(toks);
+        if (len > 0) {
+            /* copy-on-write: callbacks may have captured the old object
+             * (engine/replay.py:49-55) */
+            PyObject *last = PyList_GET_ITEM(toks, len - 1);
+            PyObject *tid = PyObject_GetAttrString(last, "token_id");
+            PyObject *lp = PyObject_GetAttrString(last, "logprob");
+            PyObject *fl = PyObject_GetAttrString(last, "flags");
+            PyObject *tm = PyObject_GetAttrString(last, "time_ms");
+            int failed = 0;
+            if (tid && lp && fl && tm) {
+                TokenObject *nt = token_alloc(
+                    (int)PyLong_AsLong(tid), PyFloat_AsDouble(lp),
+                    (int)(PyLong_AsLong(fl) | FLAG_SENTENCE_END),
+                    PyLong_AsLong(tm));
+                if (nt && !PyErr_Occurred())
+                    PyList_SetItem(toks, len - 1, (PyObject *)nt);
+                else { Py_XDECREF(nt); failed = 1; }
+            } else
+                failed = 1;
+            Py_XDECREF(tid); Py_XDECREF(lp); Py_XDECREF(fl); Py_XDECREF(tm);
+            if (failed) return -1;
+        }
+    }
+    if (ops & OP_FINAL) {
+        Py_ssize_t len = PyList_GET_SIZE(toks);
+        if (final_k > len) final_k = len;
+        PyObject *head = PyList_GetSlice(toks, 0, final_k);
+        if (!head) return -1;
+        PyObject *r = PyObject_CallFunctionObjArgs(on_result, ctx->res_final, head, NULL);
+        Py_DECREF(head);
+        if (!r) return -1;
+        Py_DECREF(r);
+        if (PyList_SetSlice(toks, 0, final_k, NULL) < 0) return -1;
+    }
+    if (ops & OP_RESET_TOKENS) {
+        if (PyList_SetSlice(toks, 0, PyList_GET_SIZE(toks), NULL) < 0) return -1;
+    }
+    if (ops & OP_APPEND) {
+        TokenObject *nt = token_alloc(tok, (double)logprob, flags, time_ms);
+        if (!nt || PyList_Append(toks, (PyObject *)nt) < 0) { Py_XDECREF(nt); return -1; }
+        Py_DECREF(nt);
+    }
+    if (ops & OP_PARTIAL) {
+        PyObject *r = PyObject_CallFunctionObjArgs(on_result, ctx->res_partial, toks, NULL);
+        if (!r) return -1;
+        Py_DECREF(r);
+    }
+    if (ops & OP_POP) {
+        Py_ssize_t len = PyList_GET_SIZE(toks);
+        if (len > 0 && PyList_SetSlice(toks, len - 1, len, NULL) < 0) return -1;
+    }
+    if (ops & OP_SILENCE) {
+        PyObject *r = PyObject_CallFunctionObjArgs(on_result, ctx->res_silence, ctx->empty, NULL);
+        if (!r) return -1;
+        Py_DECREF(r);
+    }
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
 /* replay(buffer, S, P, I, slots) -> n_events */
 
 static PyObject *replay(PyObject *Py_UNUSED(self), PyObject *args)
@@ -168,11 +288,8 @@ static PyObject *replay(PyObject *Py_UNUSED(self), PyObject *args)
     long n_events = 0;
     int failed = 0;
 
-    PyObject *res_partial = PyLong_FromLong(RESULT_PARTIAL);
-    PyObject *res_final = PyLong_FromLong(RESULT_FINAL);
-    PyObject *res_silence = PyLong_FromLong(RESULT_SILENCE);
-    PyObject *empty = PyTuple_New(0);
-    if (!res_partial || !res_final || !res_silence || !empty) failed = 1;
+    ReplayCtx ctx;
+    if (ctx_init(&ctx) < 0) failed = 1;
 
     for (Py_ssize_t s = 0; s < S && !failed; s++) {
         const int32_t *row0 = base + s * P * width;
@@ -185,103 +302,106 @@ static PyObject *replay(PyObject *Py_UNUSED(self), PyObject *args)
         }
         if (!any) continue;
 
-        PyObject *slot = PySequence_GetItem(slots, s); /* new ref */
-        if (!slot) { failed = 1; break; }
-        if (slot == Py_None) { Py_DECREF(slot); continue; }
-        PyObject *replayer = PyObject_GetAttrString(slot, "replayer");
-        Py_DECREF(slot);
-        if (!replayer) { failed = 1; break; }
-        PyObject *toks = PyObject_GetAttrString(replayer, "tokens");
-        PyObject *on_result = PyObject_GetAttrString(replayer, "on_result");
-        Py_DECREF(replayer);
-        if (!toks || !on_result || !PyList_Check(toks)) {
-            Py_XDECREF(toks); Py_XDECREF(on_result);
-            if (!PyErr_Occurred())
-                PyErr_SetString(PyExc_TypeError, "replayer.tokens must be a list");
-            failed = 1;
-            break;
-        }
+        PyObject *toks = NULL, *on_result = NULL;
+        int got = slot_replayer(slots, s, &toks, &on_result);
+        if (got < 0) { failed = 1; break; }
+        if (got == 0) continue;
 
         for (Py_ssize_t p = 0; p < P && !failed; p++) {
             const int32_t *cell = row0 + p * width;
             long time_ms = cell[2 * I];
             for (Py_ssize_t j = 0; j < I && !failed; j++) {
                 int32_t w0 = cell[j];
-                int ops = w0 & 0x7F;
-                if (!ops) continue;
+                if (!(w0 & 0x7F)) continue;
                 n_events++;
-                int flags = (w0 >> 7) & 0x3;
-                Py_ssize_t final_k = (w0 >> 9) & 0x7F;
-                int tok = (w0 >> 16) & 0x3FFF;
                 float logprob;
                 memcpy(&logprob, &cell[I + j], sizeof(float));
-
-                if (ops & OP_FIX_PREV_EOS) {
-                    Py_ssize_t len = PyList_GET_SIZE(toks);
-                    if (len > 0) {
-                        /* copy-on-write: callbacks may have captured the
-                         * old object (engine/replay.py:49-55) */
-                        PyObject *last = PyList_GET_ITEM(toks, len - 1);
-                        PyObject *tid = PyObject_GetAttrString(last, "token_id");
-                        PyObject *lp = PyObject_GetAttrString(last, "logprob");
-                        PyObject *fl = PyObject_GetAttrString(last, "flags");
-                        PyObject *tm = PyObject_GetAttrString(last, "time_ms");
-                        if (tid && lp && fl && tm) {
-                            TokenObject *nt = token_alloc(
-                                (int)PyLong_AsLong(tid), PyFloat_AsDouble(lp),
-                                (int)(PyLong_AsLong(fl) | FLAG_SENTENCE_END),
-                                PyLong_AsLong(tm));
-                            if (nt && !PyErr_Occurred())
-                                PyList_SetItem(toks, len - 1, (PyObject *)nt);
-                            else { Py_XDECREF(nt); failed = 1; }
-                        } else
-                            failed = 1;
-                        Py_XDECREF(tid); Py_XDECREF(lp); Py_XDECREF(fl); Py_XDECREF(tm);
-                    }
-                }
-                if (!failed && (ops & OP_FINAL)) {
-                    Py_ssize_t len = PyList_GET_SIZE(toks);
-                    if (final_k > len) final_k = len;
-                    PyObject *head = PyList_GetSlice(toks, 0, final_k);
-                    if (!head) { failed = 1; break; }
-                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_final, head, NULL);
-                    Py_DECREF(head);
-                    if (!r) { failed = 1; break; }
-                    Py_DECREF(r);
-                    if (PyList_SetSlice(toks, 0, final_k, NULL) < 0) { failed = 1; break; }
-                }
-                if (!failed && (ops & OP_RESET_TOKENS)) {
-                    if (PyList_SetSlice(toks, 0, PyList_GET_SIZE(toks), NULL) < 0) { failed = 1; break; }
-                }
-                if (!failed && (ops & OP_APPEND)) {
-                    TokenObject *nt = token_alloc(tok, (double)logprob, flags, time_ms);
-                    if (!nt || PyList_Append(toks, (PyObject *)nt) < 0) { Py_XDECREF(nt); failed = 1; break; }
-                    Py_DECREF(nt);
-                }
-                if (!failed && (ops & OP_PARTIAL)) {
-                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_partial, toks, NULL);
-                    if (!r) { failed = 1; break; }
-                    Py_DECREF(r);
-                }
-                if (!failed && (ops & OP_POP)) {
-                    Py_ssize_t len = PyList_GET_SIZE(toks);
-                    if (len > 0 && PyList_SetSlice(toks, len - 1, len, NULL) < 0) { failed = 1; break; }
-                }
-                if (!failed && (ops & OP_SILENCE)) {
-                    PyObject *r = PyObject_CallFunctionObjArgs(on_result, res_silence, empty, NULL);
-                    if (!r) { failed = 1; break; }
-                    Py_DECREF(r);
-                }
+                if (apply_cell(toks, on_result, &ctx, w0, logprob, time_ms) < 0)
+                    failed = 1;
             }
         }
         Py_DECREF(toks);
         Py_DECREF(on_result);
     }
 
-    Py_XDECREF(res_partial);
-    Py_XDECREF(res_final);
-    Py_XDECREF(res_silence);
-    Py_XDECREF(empty);
+    ctx_free(&ctx);
+    PyBuffer_Release(&view);
+    if (failed) return NULL;
+    return PyLong_FromLong(n_events);
+}
+
+/* ------------------------------------------------------------------ */
+/* replay_blob(buffer, slots) -> n_events
+ *
+ * Replays ONE compact sub-blob (layout: april_asr_tpu/engine/step.py —
+ * header [magic, S, K, stride], counts[S], base_time[S], word0[K], lp[K],
+ * dt u8[K] packed 4/word). The caller has already verified sum(counts) <= K
+ * (overflowed blobs are replayed from the dense tensor instead). */
+
+static PyObject *replay_blob(PyObject *Py_UNUSED(self), PyObject *args)
+{
+    Py_buffer view;
+    PyObject *slots;
+    if (!PyArg_ParseTuple(args, "y*O", &view, &slots))
+        return NULL;
+    const int32_t *b = (const int32_t *)view.buf;
+    Py_ssize_t n_ints = view.len / (Py_ssize_t)sizeof(int32_t);
+    if (n_ints < 4 || b[0] != 0x41505234) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "bad event blob header");
+        return NULL;
+    }
+    Py_ssize_t S = b[1], K = b[2];
+    long stride = b[3];
+    if (S < 0 || K < 0 || n_ints < 4 + 2 * S + 2 * K + (K + 3) / 4) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_ValueError, "event blob truncated");
+        return NULL;
+    }
+    if (!PySequence_Check(slots)) {
+        PyBuffer_Release(&view);
+        PyErr_SetString(PyExc_TypeError, "slots must be a sequence");
+        return NULL;
+    }
+    const int32_t *counts = b + 4;
+    const int32_t *base_time = b + 4 + S;
+    const int32_t *w0 = b + 4 + 2 * S;
+    const int32_t *lp = w0 + K;
+    const uint8_t *dt = (const uint8_t *)(lp + K); /* little-endian pack */
+
+    long n_events = 0;
+    int failed = 0;
+    ReplayCtx ctx;
+    if (ctx_init(&ctx) < 0) failed = 1;
+
+    Py_ssize_t k = 0;
+    for (Py_ssize_t s = 0; s < S && !failed; s++) {
+        Py_ssize_t c = counts[s];
+        if (c <= 0) continue;
+        if (k + c > K) {
+            PyErr_SetString(PyExc_ValueError,
+                            "event blob overflow (caller must use dense path)");
+            failed = 1;
+            break;
+        }
+        PyObject *toks = NULL, *on_result = NULL;
+        int got = slot_replayer(slots, s, &toks, &on_result);
+        if (got < 0) { failed = 1; break; }
+        if (got == 0) { k += c; continue; }
+        for (Py_ssize_t i = 0; i < c && !failed; i++, k++) {
+            float logprob;
+            memcpy(&logprob, &lp[k], sizeof(float));
+            long time_ms = (long)base_time[s] + (long)dt[k] * stride;
+            if (apply_cell(toks, on_result, &ctx, w0[k], logprob, time_ms) < 0)
+                failed = 1;
+            else
+                n_events++;
+        }
+        Py_DECREF(toks);
+        Py_DECREF(on_result);
+    }
+
+    ctx_free(&ctx);
     PyBuffer_Release(&view);
     if (failed) return NULL;
     return PyLong_FromLong(n_events);
@@ -289,7 +409,9 @@ static PyObject *replay(PyObject *Py_UNUSED(self), PyObject *args)
 
 static PyMethodDef module_methods[] = {
     {"replay", replay, METH_VARARGS,
-     "replay(buf, S, P, I, slots) -> applied event count"},
+     "replay(buf, S, P, I, slots) -> applied event count (dense tensor)"},
+    {"replay_blob", replay_blob, METH_VARARGS,
+     "replay_blob(buf, slots) -> applied event count (compact sub-blob)"},
     {NULL},
 };
 

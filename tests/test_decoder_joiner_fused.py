@@ -70,10 +70,10 @@ def _drive(rt, steps=4, flush=True):
         )
         n = jnp.full(S, 3200, jnp.int32)
         state, events = prog.step(rt.weights, state, audio, n)
-        evs.append(np.asarray(events))
+        evs.append(np.asarray(events.dense))
     if flush:
         state, events = prog.flush(rt.weights, state, jnp.ones(S, bool))
-        evs.append(np.asarray(events))
+        evs.append(np.asarray(events.dense))
     return evs
 
 

@@ -153,7 +153,7 @@ def make_variant(rt, batch, chunk, *, decode=True, lstm=True, fbank=True,
             )
         events = {k: jnp.transpose(v, (1, 0, 2)) for k, v in events.items()}
         state = {"fbank": fb, "h": h, "c": c, "decode": dstate}
-        return state, pack_events(events)
+        return state, pack_events(events, dstate["time_ms"] * 0, 40).dense
 
     return jax.jit(step, donate_argnums=(1,))
 

@@ -124,7 +124,7 @@ def main():
                 return (h, c, ds), events
             (h, c, ds), events = jax.lax.scan(body, (h, c, ds), None, length=k)
             ev = {kk: jnp.swapaxes(v, 0, 1) for kk, v in events.items()}
-            return pack_events(ev)
+            return pack_events(ev, ev["time_ms"][:, 0, 0] * 0, 40).dense
         return lambda: f(w, h, c, dstate0)
 
     print(f"recurrent + decode x3: {slope(mk_full, 1, 9):.2f} ms/pull")
@@ -140,7 +140,7 @@ def main():
                 return ds, events
             ds, events = jax.lax.scan(body, ds, None, length=k)
             ev = {kk: jnp.swapaxes(v, 0, 1) for kk, v in events.items()}
-            return pack_events(ev)
+            return pack_events(ev, ev["time_ms"][:, 0, 0] * 0, 40).dense
         return lambda: f(w, dstate0)
 
     print(f"inner decode x3 only:  {slope(mk_dec, 1, 9):.2f} ms/pull")
