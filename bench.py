@@ -307,13 +307,34 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
     )
     audio_s_per_step = S * chunk_s
 
+    def _hbm():
+        # HBM headroom evidence for the concurrency rungs; not all remote
+        # backends expose memory_stats, so absence is reported as None
+        try:
+            import jax
+
+            st = jax.local_devices()[0].memory_stats() or {}
+            used = st.get("peak_bytes_in_use", st.get("bytes_in_use"))
+            lim = st.get("bytes_limit")
+            if used is not None:
+                return round(used / 2**30, 2), (
+                    round(lim / 2**30, 2) if lim else None
+                )
+        except Exception:
+            pass
+        return None, None
+
     def pack(res, done):
         thr, step_ms, evps, (p50, p99, n_stalls, max_stall), mean_ms = res
+        hbm_used, hbm_lim = _hbm()
         return {
             "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
             "evps": evps, "p50": p50, "p99": p99, "mean_ms": mean_ms,
             "stalls": n_stalls, "max_stall_ms": max_stall, "steps_done": done,
             "arch": arch, "precision": prec,
+            "hbm_used_gib": hbm_used, "hbm_limit_gib": hbm_lim,
+            # >= 1x realtime for every one of the S concurrent sessions
+            "realtime": bool(thr >= S),
         }
 
     def interim(durs, lat, n_events, done):
@@ -422,8 +443,27 @@ def _emit_summary():
     )
     lowlat = min(_results, key=lambda r: (r["chunk_s"], r["p50"]))
     extra = ""
+    # north-star concurrency demo: the largest S that sustained >= 1x
+    # realtime for every session (audio-s/s >= S)
+    rt_rungs = [r for r in _results if r.get("realtime")]
+    if rt_rungs:
+        ns = max(rt_rungs, key=lambda r: r["S"])
+        if ns["S"] > 2048:
+            hbm = (
+                f", HBM {ns['hbm_used_gib']}"
+                + (f"/{ns['hbm_limit_gib']}" if ns.get("hbm_limit_gib") else "")
+                + " GiB"
+                if ns.get("hbm_used_gib") is not None
+                else ""
+            )
+            extra += (
+                f"; north star: {ns['S']:,} concurrent sessions at "
+                f"{ns['thr']/ns['S']:.2f}x realtime ({ns['step_ms']:.0f} ms "
+                f"step / {ns['chunk_s']:.0f} s chunk, p99 {ns['p99']:.0f} ms"
+                f"{hbm})"
+            )
     if lowlat is not best and lowlat["chunk_s"] < best["chunk_s"]:
-        extra = (
+        extra += (
             f"; low-latency point: {lowlat['thr']:,.0f} audio-s/s at "
             f"{lowlat['chunk_s']*1000:.0f} ms chunks, p50 {lowlat['p50']:.0f} ms"
         )
@@ -468,6 +508,11 @@ def main():
     default_arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
     configs = [
         (256, 1.0, default_arch),
+        # the north-star concurrency rungs (BASELINE.md: >=10,000 concurrent
+        # realtime 16 kHz sessions per host): >=1x realtime means
+        # audio-s/s >= S, i.e. the batched step beats the 1 s chunk cadence
+        (12288, 1.0, default_arch),
+        (8192, 1.0, default_arch),
         (2048, 1.0, default_arch),
         (2048, 0.2, default_arch),
         (1024, 1.0, "conformer" if default_arch == "lstm" else default_arch),
@@ -538,13 +583,19 @@ def main():
                 print(f"# retrying config ({S},{chunk_s})", file=sys.stderr)
         if r is None:
             continue
+        hbm = (
+            f", HBM {r['hbm_used_gib']} GiB"
+            if r.get("hbm_used_gib") is not None
+            else ""
+        )
         print(
-            f"# batch={S} chunk={chunk_s}s: {r['thr']:,.0f} audio-s/s, "
+            f"# batch={S} chunk={chunk_s}s: {r['thr']:,.0f} audio-s/s "
+            f"({r['thr']/S:.2f}x realtime/session), "
             f"step {r['step_ms']:.1f} ms (mean {r.get('mean_ms', r['step_ms']):.1f}), "
             f"{r['evps']:.0f} events/step, "
             f"partial latency p50 {r['p50']:.0f} ms / p99 {r['p99']:.0f} ms "
             f"({r.get('stalls', 0)} transport stalls, worst "
-            f"{r.get('max_stall_ms', 0.0):.0f} ms) "
+            f"{r.get('max_stall_ms', 0.0):.0f} ms){hbm} "
             f"(+ up to {chunk_s*1000:.0f} ms staging)",
             file=sys.stderr,
         )
