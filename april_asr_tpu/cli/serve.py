@@ -285,6 +285,12 @@ def main(argv=None) -> int:
         help="tensor-parallel degree over the model axis (implies --mesh)",
     )
     ap.add_argument(
+        "--pipeline-stages", type=int, default=1,
+        help="pipeline-parallel stages: split the encoder layer stack into "
+        "N slabs over a `stage` mesh axis; a chunk's pulls flow through "
+        "them as ppermute microbatches (LSTM family)",
+    )
+    ap.add_argument(
         "--profile-dir", default=None,
         help="write a jax.profiler trace of the first engine ticks here "
         "(view with TensorBoard's profile plugin or ui.perfetto.dev)",
@@ -312,7 +318,21 @@ def main(argv=None) -> int:
 
     model = Model(args.model, precision=args.precision)
     mesh = None
-    if args.mesh or args.model_parallel > 1:
+    if args.pipeline_stages > 1:
+        if args.model_parallel > 1:
+            print("error: --pipeline-stages and --model-parallel are exclusive",
+                  file=sys.stderr)
+            return 1
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        ns = args.pipeline_stages
+        mesh = Mesh(
+            _np.array(jax.devices()[:ns]).reshape(1, ns), ("data", "stage")
+        )
+        print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}", file=sys.stderr)
+    elif args.mesh or args.model_parallel > 1:
         from ..parallel import make_mesh
 
         mesh = make_mesh(model_parallel=args.model_parallel)

@@ -195,23 +195,46 @@ class BatchEngine:
                 )
             self._multiprocess = jax.process_count() > 1
             tp_axes = self.prog.tp_axes
-            if tp_axes:
-                # shard_map TP path: gate-shuffled layout + TP specs (the
-                # fused kernels run on local layer slices; parallel/tp.py)
+            if self.prog.tp_family == "pipeline":
+                # stage mesh (PP serving): encoder layer slabs shard over
+                # the `stage` axis; everything else replicates
+                from ..parallel.pipeline import stage_param_specs
+
+                specs_w = stage_param_specs(rt.weights)
+                if self._multiprocess:
+                    raise NotImplementedError(
+                        "pipeline-stage serving is single-process"
+                    )
+                self.weights = {
+                    k: jax.device_put(v, NamedSharding(mesh, specs_w[k]))
+                    for k, v in rt.weights.items()
+                }
+            elif tp_axes:
+                # shard_map TP path: family-specific shuffled layout + TP
+                # specs (LSTM: gate shuffle + fused kernels on local layer
+                # slices; Conformer: GLU shuffle + head-sharded blocks —
+                # parallel/tp.py)
                 from ..parallel.tp import (
+                    conformer_tp_specs,
+                    glu_shuffle_columns,
+                    prepare_conformer_tp_weights,
                     prepare_tp_weights,
                     shuffle_gate_columns,
                     tp_param_specs,
                 )
 
+                conf = self.prog.tp_family == "conformer"
                 if self._multiprocess:
                     m = 1
                     for ax in tp_axes:
                         m *= mesh.shape[ax]
-                    shuffled = shuffle_gate_columns(rt.weights, m)
-                    specs_w = tp_param_specs(
-                        shuffled, tp_axes if len(tp_axes) != 1 else tp_axes[0]
-                    )
+                    ax = tp_axes if len(tp_axes) != 1 else tp_axes[0]
+                    if conf:
+                        shuffled = glu_shuffle_columns(rt.weights, m)
+                        specs_w = conformer_tp_specs(shuffled, ax)
+                    else:
+                        shuffled = shuffle_gate_columns(rt.weights, m)
+                        specs_w = tp_param_specs(shuffled, ax)
                     w_shardings = {
                         k: NamedSharding(mesh, specs_w[k]) for k in shuffled
                     }
@@ -219,6 +242,8 @@ class BatchEngine:
                     self.weights = jax.jit(
                         lambda w: w, out_shardings=w_shardings
                     )(host_w)
+                elif conf:
+                    self.weights = prepare_conformer_tp_weights(rt.weights, mesh)
                 else:
                     self.weights = prepare_tp_weights(rt.weights, mesh)
             elif self._multiprocess:
@@ -253,13 +278,19 @@ class BatchEngine:
                 abstract = jax.eval_shape(
                     lambda w: engine_state_init_fn(self.prog, w), self.weights
                 )
-                specs = state_spec_tree(abstract, data_axis, self.prog.tp_axes)
+                specs = state_spec_tree(
+                    abstract, data_axis, self.prog.tp_axes,
+                    self.prog.tp_family or "lstm",
+                )
                 self.state = init_engine_state(
                     self.prog, self.weights, out_shardings=to_shardings(specs)
                 )
             else:
                 state = init_engine_state(self.prog, self.weights)
-                specs = state_spec_tree(state, data_axis, self.prog.tp_axes)
+                specs = state_spec_tree(
+                    state, data_axis, self.prog.tp_axes,
+                    self.prog.tp_family or "lstm",
+                )
                 self.state = jax.device_put(state, to_shardings(specs))
             self._audio_sharding = NamedSharding(mesh, P(data_axis))
             if self._multiprocess:

@@ -249,9 +249,12 @@ class EngineProgram:
     batch: int
     # shard_map TP model axes (None = DP-only or GSPMD path). When set, the
     # engine runs the explicit tensor-parallel kernel path and weights must
-    # be placed with parallel.tp.prepare_tp_weights; the cell state c is
-    # sharded over these axes.
+    # be placed with parallel.tp.prepare_tp_weights (LSTM) /
+    # prepare_conformer_tp_weights (Conformer); the cell state c is sharded
+    # over these axes (Conformer: the KV-ring state h too).
     tp_axes: tuple | None = None
+    # which family's TP layout is active: "lstm" | "conformer" | None
+    tp_family: str | None = None
     # Whether step/flush donate the state buffers. Donation saves the output
     # allocation + pass-through copies (the bench's dispatch loop uses it),
     # but a FAILED execution leaves donated inputs unusable — so the serving
@@ -324,12 +327,82 @@ def build_engine(
     dcfg = dcfg or DecodeConfig()
 
     tp_axes = None
-    if mesh is not None and len(mesh.axis_names) > 1:
+    tp_family = None
+    pp_mesh = mesh is not None and "stage" in mesh.axis_names
+    if pp_mesh:
+        # Pipeline-parallel serving surface: a mesh with a `stage` axis
+        # routes the encoder through parallel/pipeline.py — the L layers
+        # split into contiguous slabs over the stages and a chunk's pulls
+        # flow through them as microbatches over ppermute (the TPU-native
+        # generalization of the reference's sequential 3-network pipeline,
+        # april_session.c:447-454). The rest of the step (fbank, decode)
+        # compiles GSPMD-replicated, so this path traces the pure-XLA
+        # compute (pallas_call cannot appear in a GSPMD-partitioned
+        # program); the blocks inside the stage shard_map are pure XLA
+        # already.
+        from ..parallel.pipeline import pp_encoder_chunk, pp_encoder_step
+
+        if rt.kind != "native" or "w_ih_t" not in rt.weights:
+            raise ValueError(
+                "pipeline-stage meshes support the native LSTM family"
+            )
+        ns = mesh.shape["stage"]
+        if rt.dims.layers % ns:
+            raise ValueError(
+                f"{rt.dims.layers} layers not divisible by {ns} stages"
+            )
+        rt = dataclasses.replace(
+            rt,
+            encoder_step=pp_encoder_step(mesh),
+            encoder_chunk=pp_encoder_chunk(mesh),
+            encoder_chunk_max_pulls=None,
+        )
+        tp_family = "pipeline"
+    if mesh is not None and not pp_mesh and len(mesh.axis_names) > 1:
         model_axes = tuple(mesh.axis_names[1:])
         model_size = 1
         for ax in model_axes:
             model_size *= mesh.shape[ax]
-        if model_size > 1 and rt.kind == "native":
+        if model_size > 1 and rt.kind == "native" and "att_q" in rt.weights:
+            # Conformer family: head-sharded attention + column/row-sharded
+            # FF/conv with explicit psums (models/conformer.py axis= path).
+            # Each shard carries its own heads' KV rings and conv channels,
+            # so BOTH state arrays shard over the model axis; the conv
+            # state row pads to (k-1)*d + m ints (one position counter per
+            # shard — they advance in lockstep).
+            from ..parallel.tp import conformer_tp_eligible
+
+            if conformer_tp_eligible(rt.weights, rt.dims, model_size):
+                from ..models.conformer import (
+                    conformer_encoder_chunk,
+                    conformer_encoder_recurrent,
+                    conformer_encoder_step,
+                )
+
+                axis = model_axes if len(model_axes) > 1 else model_axes[0]
+                dims = rt.dims
+                d, k = dims.d_model, dims.conv_kernel
+                rt = dataclasses.replace(
+                    rt,
+                    encoder_step=lambda w, x, h, c: conformer_encoder_step(
+                        w, x, h, c, dims, axis=axis
+                    ),
+                    encoder_recurrent=lambda w, y, h, c, gate=None: (
+                        conformer_encoder_recurrent(
+                            w, y, h, c, dims, gate, axis=axis
+                        )
+                    ),
+                    encoder_chunk=lambda w, y, h, c, can: (
+                        conformer_encoder_chunk(w, y, h, c, dims, can, axis=axis)
+                    ),
+                    state_shapes=(
+                        rt.state_shapes[0],
+                        (dims.layers, (k - 1) * d + model_size),
+                    ),
+                )
+                tp_axes = model_axes
+                tp_family = "conformer"
+        elif model_size > 1 and rt.kind == "native":
             from ..parallel.tp import tp_shard_map_eligible
 
             H = rt.state_shapes[1][1]
@@ -359,6 +432,7 @@ def build_engine(
                     encoder_chunk_max_pulls=None,
                 )
                 tp_axes = model_axes
+                tp_family = "lstm"
     layout = FbankLayout.build(rt.fbank_opts, cfg.chunk_samples)
     vt = vocab_tables_device(rt.vocab)
     blank = rt.blank_id
@@ -681,6 +755,21 @@ def build_engine(
     if mesh is None:
         step_c = jax.jit(step, donate_argnums=donate_args)
         flush_c = jax.jit(flush, donate_argnums=donate_args)
+    elif pp_mesh:
+        # plain jit: the stage shard_map lives INSIDE the encoder; the rest
+        # of the step replicates under GSPMD, so trace pure-XLA (no pallas)
+        from ..ops.dispatch import pallas_disabled
+
+        def _no_pallas_pp(fn):
+            @functools.wraps(fn)
+            def inner(*a, **k):
+                with pallas_disabled():
+                    return fn(*a, **k)
+
+            return inner
+
+        step_c = _no_pallas_pp(jax.jit(step, donate_argnums=donate_args))
+        flush_c = _no_pallas_pp(jax.jit(flush, donate_argnums=donate_args))
     else:
         data_axis = mesh.axis_names[0]
         model_size = 1
@@ -695,34 +784,43 @@ def build_engine(
                 from jax.experimental.shard_map import shard_map as _shard_map
 
             # Prefix specs: every state leaf is [S, ...] except h/c
-            # ([L, S, .]). Under shard_map TP the cell state c additionally
-            # shards its hidden axis over the model axis (the gate-shuffled
-            # layout makes shard k's slice exactly its local layer's cell),
-            # while h (the d-dim projected state) is replicated over model.
+            # ([L, S, .]). Under shard_map TP the state shards by family:
+            # LSTM — c shards its hidden axis over the model axis (the
+            # gate-shuffled layout makes shard k's slice exactly its local
+            # layer's cell) while h (the d-dim projected state) is
+            # replicated; Conformer — BOTH h (KV rings, head-sharded) and c
+            # (conv channels + per-shard position) shard over model.
+            m_ax = (
+                None
+                if tp_axes is None
+                else (tp_axes if len(tp_axes) > 1 else tp_axes[0])
+            )
             c_spec = (
                 PS(None, data_axis)
                 if tp_axes is None
-                else PS(
-                    None,
-                    data_axis,
-                    tp_axes if len(tp_axes) > 1 else tp_axes[0],
-                )
+                else PS(None, data_axis, m_ax)
+            )
+            h_spec = (
+                PS(None, data_axis, m_ax)
+                if tp_family == "conformer"
+                else PS(None, data_axis)
             )
             state_specs = {
                 "fbank": PS(data_axis),
-                "h": PS(None, data_axis),
+                "h": h_spec,
                 "c": c_spec,
                 "decode": PS(data_axis),
             }
             if tp_axes is None:
                 w_specs = PS()
+            elif tp_family == "conformer":
+                from ..parallel.tp import conformer_tp_specs
+
+                w_specs = conformer_tp_specs(rt.weights, m_ax)
             else:
                 from ..parallel.tp import tp_param_specs
 
-                w_specs = tp_param_specs(
-                    rt.weights,
-                    tp_axes if len(tp_axes) != 1 else tp_axes[0],
-                )
+                w_specs = tp_param_specs(rt.weights, m_ax)
             # events: the blob is a 1-D per-device vector, so the sharded
             # global is per-shard sub-blobs back to back (iter_blobs parses
             # them; each is self-describing); dense shards over sessions.
@@ -788,5 +886,6 @@ def build_engine(
         flush=flush_c,
         batch=batch,
         tp_axes=tp_axes,
+        tp_family=tp_family,
         donated=donate,
     )

@@ -174,11 +174,40 @@ def _mmq(p_l, name, x):
     return _q8_mm(x, q, p_l[name + "_q8s"])
 
 
-def _ffq(p_l, pre, x):
+def _mmq_psum(p_l, name, x, axis):
+    """Row-sharded projection under TP: partial output summed over the
+    model axis. The int8 path is TP-exact vs single-chip int8 (the LSTM TP
+    recipe, ops/lstm_tp_pallas.py): the dynamic activation scale is
+    pmax-GLOBAL over the model axis — every shard quantizes its input slice
+    to the identical int8 values a single chip would — and the INT32
+    accumulators are psummed BEFORE the single dequantization, so the only
+    residue is f32 multiply ordering."""
+    q = p_l.get(name + "_q8")
+    if axis is None:
+        return _mmq(p_l, name, x)
+    if q is None:
+        return jax.lax.psum(_mm(x, p_l[name]), axis)
+    xf = x.astype(jnp.float32)
+    amax = jax.lax.pmax(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), axis)
+    s = jnp.maximum(amax, 1e-30) * (1.0 / 127.0)
+    qx = jnp.round(xf * (1.0 / s)).astype(jnp.int8)
+    acc = jax.lax.psum(
+        jnp.dot(qx, q, preferred_element_type=jnp.int32), axis
+    )
+    return acc.astype(jnp.float32) * (s * p_l[name + "_q8s"])
+
+
+def _ffq(p_l, pre, x, axis=None):
+    """Macaron FF half. Under TP (`axis` set) the `_a` matrix is
+    column-sharded (local mid = F/m lanes) and `_o` row-sharded via
+    _mmq_psum; the output bias is replicated and added once, after the
+    psum."""
     mid = _double_swish(
         _mmq(p_l, pre + "_a", x) + p_l[pre + "_ab"].astype(jnp.float32)
     )
-    return _mmq(p_l, pre + "_o", mid) + p_l[pre + "_ob"].astype(jnp.float32)
+    return _mmq_psum(p_l, pre + "_o", mid, axis) + p_l[pre + "_ob"].astype(
+        jnp.float32
+    )
 
 
 # Quantizable projection bases within _STACKED (see
@@ -207,8 +236,13 @@ def _swish(x):
 
 
 def _unpack(h_l, c_l, dims: ConformerDims):
+    """Ring/conv state unpack. The feature width is derived from the state
+    row itself, NOT dims.d_model: under shard_map TP each device's h_l/c_l
+    row is its own heads' ring + conv slice (d_local = d/m), and the same
+    code serves both."""
     S = h_l.shape[0]
-    d, C, k = dims.d_model, dims.att_context, dims.conv_kernel
+    C, k = dims.att_context, dims.conv_kernel
+    d = h_l.shape[1] // (2 * C)
     kc = h_l[:, : C * d].reshape(S, C, d)
     vc = h_l[:, C * d :].reshape(S, C, d)
     conv = c_l[:, : (k - 1) * d].reshape(S, k - 1, d)
@@ -224,23 +258,35 @@ def _pack(kc, vc, conv, pos):
     )
 
 
-def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
+def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None, axis=None):
     """One Conformer block on one frame x [S, d]; returns (y, h_l', c_l').
 
     `gate` (optional [S] bool) keeps the carried KV-ring/conv/position state
     for masked sessions — the engine's per-pull participation mask, folded
     into the block body (same contract as the LSTM layer gate,
-    lstm_transducer._lstm_stack_step)."""
+    lstm_transducer._lstm_stack_step).
+
+    `axis` (optional mesh axis name(s)) runs the block tensor-parallel under
+    shard_map: q/k/v and the FF/conv input matrices are column-sharded (the
+    local shard computes its own heads / FF lanes / conv channels — the
+    per-head softmax needs no cross-shard reduction), the output matrices
+    are row-sharded, and each module's partial output crosses the model
+    axis as ONE psum (4 per block). x and the layer norms are replicated.
+    Local sizes are derived from the (sharded) weight shapes, so the same
+    body serves single-chip and TP."""
     S, d = x.shape
-    H, dk, C, k = dims.heads, dims.head_dim, dims.att_context, dims.conv_kernel
+    dk, C, k = dims.head_dim, dims.att_context, dims.conv_kernel
+    Hl = p_l["rel_bias"].shape[0]  # local heads (H/m under TP)
+    dl = Hl * dk  # local attention width
+    dc = p_l["cv_dw"].shape[1]  # local conv channels (d/m under TP)
     kc, vc, conv_st, pos = _unpack(h_l, c_l, dims)
     ipos = pos.astype(jnp.int32)  # frame index of THIS pull (0-based)
 
-    x = x + 0.5 * _ffq(p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]))
+    x = x + 0.5 * _ffq(p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]), axis)
 
     # -- causal MHSA over the ring cache ----------------------------------
     u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
-    q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(S, H, dk)
+    q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(S, Hl, dk)
     kn = (_mmq(p_l, "att_k", u) + p_l["att_kb"].astype(jnp.float32))
     vn = (_mmq(p_l, "att_v", u) + p_l["att_vb"].astype(jnp.float32))
     # write current frame into ring slot pos % C (one-hot select: no scatter)
@@ -254,28 +300,32 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
     dist = (slot[:, None] - jnp.arange(C)[None, :]) % C  # [S, C]
     valid = dist <= jnp.minimum(ipos, C - 1)[:, None]
     scores = jnp.einsum(
-        "shd,schd->shc", q, kc.reshape(S, C, H, dk), preferred_element_type=jnp.float32
+        "shd,schd->shc", q, kc.reshape(S, C, Hl, dk), preferred_element_type=jnp.float32
     )
     scores = scores * (dk ** -0.5)
-    bias = p_l["rel_bias"].astype(jnp.float32)[:, dist]  # [H, S, C]
+    bias = p_l["rel_bias"].astype(jnp.float32)[:, dist]  # [Hl, S, C]
     scores = scores + jnp.transpose(bias, (1, 0, 2))
     scores = jnp.where(valid[:, None, :], scores, -jnp.inf)
     w = jax.nn.softmax(scores, axis=-1)
     att = jnp.einsum(
-        "shc,schd->shd", w, vc.reshape(S, C, H, dk), preferred_element_type=jnp.float32
-    ).reshape(S, d)
-    x = x + _mmq(p_l, "att_o", att) + p_l["att_ob"].astype(jnp.float32)
+        "shc,schd->shd", w, vc.reshape(S, C, Hl, dk), preferred_element_type=jnp.float32
+    ).reshape(S, dl)
+    x = x + _mmq_psum(p_l, "att_o", att, axis) + p_l["att_ob"].astype(
+        jnp.float32
+    )
 
     # -- causal conv module ------------------------------------------------
     u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
-    g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2d]
-    g = g[:, :d] * jax.nn.sigmoid(g[:, d:])  # GLU
-    window = jnp.concatenate([conv_st, g[:, None, :]], axis=1)  # [S, k, d]
+    g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2*dc]
+    g = g[:, :dc] * jax.nn.sigmoid(g[:, dc:])  # GLU (TP: glu-shuffled halves)
+    window = jnp.concatenate([conv_st, g[:, None, :]], axis=1)  # [S, k, dc]
     dw = jnp.einsum(
         "skd,kd->sd", window, p_l["cv_dw"].astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) + p_l["cv_dwb"].astype(jnp.float32)
-    x = x + _mmq(p_l, "cv_pw2", _swish(dw)) + p_l["cv_pw2b"].astype(jnp.float32)
+    x = x + _mmq_psum(p_l, "cv_pw2", _swish(dw), axis) + p_l[
+        "cv_pw2b"
+    ].astype(jnp.float32)
     if gate is None:
         conv_st = window[:, 1:, :]
         pos = pos + 1.0
@@ -283,7 +333,7 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None):
         conv_st = jnp.where(gate[:, None, None], window[:, 1:, :], conv_st)
         pos = pos + gate.astype(pos.dtype)
 
-    x = x + 0.5 * _ffq(p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]))
+    x = x + 0.5 * _ffq(p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]), axis)
     y = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
 
     h_l, c_l = _pack(kc, vc, conv_st, pos)
@@ -310,17 +360,21 @@ def conformer_encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 def conformer_encoder_recurrent(
     params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-    dims: ConformerDims, gate=None,
+    dims: ConformerDims, gate=None, axis=None,
 ):
     """Stateful back half: embedded [S, d] -> (eout [S, J], h', c').
 
     `gate` ([S] bool, optional): masked sessions keep their carried
     ring-cache / conv / position state (eout for those sessions is still
-    produced; the decode step masks it)."""
+    produced; the decode step masks it).
+
+    `axis` (optional): run the blocks tensor-parallel over the named
+    shard_map model axis (see _block_step); h/c are the per-shard local
+    rings, weights the per-shard slices (parallel/tp.py conformer specs)."""
 
     def layer(y, scan_in):
         p_l, h_l, c_l = scan_in
-        y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims, gate)
+        y, h_l, c_l = _block_step(p_l, y, h_l, c_l, dims, gate, axis)
         return y, (h_l, c_l)
 
     stacked = _stacked_params(params)
@@ -331,17 +385,17 @@ def conformer_encoder_recurrent(
 
 def conformer_encoder_step(
     params: Params, x: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-    dims: ConformerDims,
+    dims: ConformerDims, axis=None,
 ):
     """Engine-contract step: x [S, seg, mel] window -> (eout [S, J], h', c')."""
     return conformer_encoder_recurrent(
-        params, conformer_encoder_embed(params, x), h, c, dims
+        params, conformer_encoder_embed(params, x), h, c, dims, axis=axis
     )
 
 
 def conformer_encoder_chunk(
     params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray,
-    dims: ConformerDims, can: jnp.ndarray,
+    dims: ConformerDims, can: jnp.ndarray, axis=None,
 ):
     """Whole-chunk streaming form: advance ALL of a step's pulls through each
     layer in one pass. This is the TPU-native hot path for the Conformer
@@ -361,7 +415,10 @@ def conformer_encoder_chunk(
     (the decode step masks them) and leave carried state untouched.
     """
     P, S, d = y.shape
-    H, dk, C, k = dims.heads, dims.head_dim, dims.att_context, dims.conv_kernel
+    dk, C, k = dims.head_dim, dims.att_context, dims.conv_kernel
+    Hl = params["rel_bias"].shape[1]  # local heads (H/m under shard_map TP)
+    dl = Hl * dk
+    dc = params["cv_dw"].shape[2]  # local conv channels
     if P > C:
         raise ValueError(f"chunk pulls {P} > att_context {C}")
     x = jnp.transpose(y, (1, 0, 2))  # [S, P, d]
@@ -381,13 +438,13 @@ def conformer_encoder_chunk(
         ipos = pos.astype(jnp.int32)  # frame index of the chunk's FIRST pull
 
         x = x + 0.5 * _ffq(
-            p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"])
+            p_l, "ff1", _layer_norm(x, p_l["ln1_s"], p_l["ln1_b"]), axis
         )
 
         # -- causal MHSA: ring keys + in-chunk keys ------------------------
         u = _layer_norm(x, p_l["ln2_s"], p_l["ln2_b"])
         q = (_mmq(p_l, "att_q", u) + p_l["att_qb"].astype(jnp.float32)).reshape(
-            S, P, H, dk
+            S, P, Hl, dk
         )
         kn = _mmq(p_l, "att_k", u) + p_l["att_kb"].astype(jnp.float32)  # [S, P, d]
         vn = _mmq(p_l, "att_v", u) + p_l["att_vb"].astype(jnp.float32)
@@ -402,7 +459,7 @@ def conformer_encoder_chunk(
             ipos[:, None, None] - 1, C - 2 - j_idx[None, :, None]
         )
         sc_ring = jnp.einsum(
-            "sphd,schd->shpc", q, kc.reshape(S, C, H, dk),
+            "sphd,schd->shpc", q, kc.reshape(S, C, Hl, dk),
             preferred_element_type=jnp.float32,
         ) * (dk ** -0.5)
         # Ring bias WITHOUT the [S, P, C]-indexed gather (bias[:, dist_ring]
@@ -426,12 +483,12 @@ def conformer_encoder_chunk(
         )  # [C(phase), H, P, C(slot)]
         oh_s = (phase[:, None] == jnp.arange(C)[None, :]).astype(jnp.float32)
         sc_ring = sc_ring + jnp.dot(
-            oh_s, BJ2.reshape(C, H * P * C), preferred_element_type=jnp.float32
-        ).reshape(S, H, P, C)
+            oh_s, BJ2.reshape(C, Hl * P * C), preferred_element_type=jnp.float32
+        ).reshape(S, Hl, P, C)
         sc_ring = jnp.where(ring_valid[:, None], sc_ring, -jnp.inf)
 
         sc_chunk = jnp.einsum(
-            "sphd,sthd->shpt", q, kn.reshape(S, P, H, dk),
+            "sphd,sthd->shpt", q, kn.reshape(S, P, Hl, dk),
             preferred_element_type=jnp.float32,
         ) * (dk ** -0.5)
         sc_chunk = sc_chunk + bias[:, djj_c][None]
@@ -440,32 +497,36 @@ def conformer_encoder_chunk(
         w = jax.nn.softmax(jnp.concatenate([sc_ring, sc_chunk], axis=-1), axis=-1)
         att = (
             jnp.einsum(
-                "shpc,schd->sphd", w[..., :C], vc.reshape(S, C, H, dk),
+                "shpc,schd->sphd", w[..., :C], vc.reshape(S, C, Hl, dk),
                 preferred_element_type=jnp.float32,
             )
             + jnp.einsum(
-                "shpt,sthd->sphd", w[..., C:], vn.reshape(S, P, H, dk),
+                "shpt,sthd->sphd", w[..., C:], vn.reshape(S, P, Hl, dk),
                 preferred_element_type=jnp.float32,
             )
-        ).reshape(S, P, d)
-        x = x + _mmq(p_l, "att_o", att) + p_l["att_ob"].astype(jnp.float32)
+        ).reshape(S, P, dl)
+        x = x + _mmq_psum(p_l, "att_o", att, axis) + p_l["att_ob"].astype(
+            jnp.float32
+        )
 
         # -- causal conv over [conv_st ‖ chunk] ----------------------------
         u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
         g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)
-        g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, P, d]
-        full = jnp.concatenate([conv_st, g], axis=1)  # [S, k-1+P, d]
-        dwk = p_l["cv_dw"].astype(jnp.float32)  # [k, d]
+        g = g[:, :, :dc] * jax.nn.sigmoid(g[:, :, dc:])  # [S, P, dc]
+        full = jnp.concatenate([conv_st, g], axis=1)  # [S, k-1+P, dc]
+        dwk = p_l["cv_dw"].astype(jnp.float32)  # [k, dc]
         dw = sum(full[:, i : i + P] * dwk[i] for i in range(k)) + p_l[
             "cv_dwb"
         ].astype(jnp.float32)
-        x = x + _mmq(p_l, "cv_pw2", _swish(dw)) + p_l["cv_pw2b"].astype(jnp.float32)
+        x = x + _mmq_psum(p_l, "cv_pw2", _swish(dw), axis) + p_l[
+            "cv_pw2b"
+        ].astype(jnp.float32)
         # new left context = last k-1 rows of the valid prefix (len k-1+n)
         idx = n[:, None] + jnp.arange(k - 1)[None, :]  # [S, k-1]
         conv_new = jnp.take_along_axis(full, idx[..., None], axis=1)
 
         x = x + 0.5 * _ffq(
-            p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"])
+            p_l, "ff2", _layer_norm(x, p_l["ln4_s"], p_l["ln4_b"]), axis
         )
         y_out = _layer_norm(x, p_l["lno_s"], p_l["lno_b"])
 

@@ -103,18 +103,26 @@ def shard_params(params: Dict, mesh: Mesh) -> Dict:
     }
 
 
-def state_spec_tree(state: Dict, data_axis: str = "data", tp_axes=None) -> Dict:
+def state_spec_tree(
+    state: Dict, data_axis: str = "data", tp_axes=None, tp_family: str = "lstm"
+) -> Dict:
     """PartitionSpecs for engine/session state: session axis sharded over
     `data`. h/c are [L, S, ·] (session axis 1); everything else is [S, ...].
     Under the shard_map TP path (`tp_axes` = the model axis name(s)) the
     cell state c additionally shards its hidden axis over the model axis
-    (gate-shuffled layout, parallel/tp.py)."""
+    (gate-shuffled layout, parallel/tp.py); for the Conformer family
+    (`tp_family="conformer"`) the KV-ring state h shards too (each device
+    carries its own heads' rings)."""
 
     def spec_for(path, leaf):
+        model = tp_axes if not tp_axes or len(tp_axes) > 1 else tp_axes[0]
+        if path in ("h", "c") and tp_family == "pipeline":
+            # stage mesh: the layer dim shards over the stage slabs
+            return P("stage", data_axis)
         if path == "c" and tp_axes:
-            return P(
-                None, data_axis, tp_axes if len(tp_axes) > 1 else tp_axes[0]
-            )
+            return P(None, data_axis, model)
+        if path == "h" and tp_axes and tp_family == "conformer":
+            return P(None, data_axis, model)
         if path in ("h", "c"):
             return P(None, data_axis)
         return P(data_axis)

@@ -46,6 +46,7 @@ def pipeline_encoder_seq(
     c: jnp.ndarray,
     mesh: Mesh,
     stage_axis: str = "stage",
+    can: jnp.ndarray | None = None,
 ):
     """Run P embedded pulls through the layer stack, pipelined over stages.
 
@@ -69,7 +70,7 @@ def pipeline_encoder_seq(
 
     stacked = {k: params[k] for k in STACKED_KEYS}
 
-    def stage_fn(stacked_s, y0_seq, h_s, c_s):
+    def stage_fn(stacked_s, y0_seq, can_seq, h_s, c_s):
         """Runs on every stage with its local layer slab [L/ns, ...]."""
         sid = jax.lax.axis_index(stage_axis)
 
@@ -84,7 +85,12 @@ def pipeline_encoder_seq(
                 inbox,
             )
             active = (t - sid >= 0) & (t - sid < Pn)
-            gate = jnp.broadcast_to(active, (S,))
+            # engine per-session participation mask for the pull this stage
+            # is processing this tick (pull index = t - sid)
+            pull_can = jax.lax.dynamic_index_in_dim(
+                can_seq, jnp.clip(t - sid, 0, Pn - 1), keepdims=False
+            )
+            gate = jnp.broadcast_to(active, (S,)) & pull_can
             # the pure-XLA layer body: the fused Pallas kernel has no
             # meaningful win here (the per-stage slab is shallow) and the
             # XLA path is what encoder_seq uses, keeping parity bit-exact
@@ -107,17 +113,54 @@ def pipeline_encoder_seq(
         ys = jax.lax.psum(dones[ns - 1 :], stage_axis)
         return ys, h_s, c_s
 
+    if can is None:
+        can = jnp.ones((Pn, S), bool)
+    data_axis = [a for a in mesh.axis_names if a != stage_axis]
+    dspec = P(*([None] * 0 + [data_axis[0]])) if data_axis and mesh.shape[data_axis[0]] > 1 else P()
     shard = functools.partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
             {k: P(stage_axis) for k in STACKED_KEYS},
-            P(),  # y0_seq replicated
+            P(),  # y0_seq replicated over stages
+            P(),  # can mask replicated
             P(stage_axis),  # h sharded on layer dim
             P(stage_axis),  # c
         ),
         out_specs=(P(), P(stage_axis), P(stage_axis)),
         check_vma=False,
     )
-    ys, h_new, c_new = shard(stage_fn)(stacked, y0_seq, h, c)
+    ys, h_new, c_new = shard(stage_fn)(stacked, y0_seq, can, h, c)
     return ys, h_new, c_new
+
+
+def pp_encoder_chunk(mesh: Mesh, stage_axis: str = "stage"):
+    """Engine-contract chunk encoder (ModelRuntime.encoder_chunk signature,
+    `fn(w, y0 [P,S,d], h, c, can [P,S]) -> (eouts [P,S,J], h', c')`) routed
+    through the pipeline schedule. This is the PP product surface: build the
+    serving engine with a `stage` mesh axis (april-serve --pipeline-stages N
+    / BatchEngine(mesh=stage_mesh)) and every chunk's pulls flow through the
+    staged layer slabs as microbatches."""
+    from ..models.lstm_transducer import _mm
+
+    def chunk(w, y0, h, c, can):
+        ys, h2, c2 = pipeline_encoder_seq(w, y0, h, c, mesh, stage_axis, can)
+        eouts = _mm(ys, w["enc_proj_t"]) + w["enc_proj_b"].astype(jnp.float32)
+        return eouts, h2, c2
+
+    return chunk
+
+
+def pp_encoder_step(mesh: Mesh, stage_axis: str = "stage"):
+    """Engine-contract single-window encoder (used by the flush path):
+    `fn(w, x [S,seg,mel], h, c) -> (eout [S,J], h', c')` as a 1-pull
+    pipeline pass."""
+    from ..models.lstm_transducer import _mm, conv_subsample
+
+    def step(w, x, h, c):
+        y0 = conv_subsample(w, x)[:, 0, :][None]  # [1, S, d]
+        ys, h2, c2 = pipeline_encoder_seq(w, y0, h, c, mesh, stage_axis)
+        eout = _mm(ys[0], w["enc_proj_t"]) + w["enc_proj_b"].astype(jnp.float32)
+        return eout, h2, c2
+
+    return step

@@ -113,6 +113,110 @@ def tp_shard_map_eligible(params: Dict, dims) -> bool:
     )
 
 
+# ---------------------------------------------------------------------------
+# Conformer family (models/conformer.py) shard_map TP
+#
+# Head-sharded attention + column-sharded FF/conv inputs + row-sharded
+# outputs with explicit psums (conformer._block_step axis= path). Column
+# shards are contiguous EXCEPT the conv GLU matrix cv_pw1 [L, d, 2d], whose
+# columns pair (i, d+i): glu_shuffle_perm rearranges them so shard k's
+# contiguous slice is [a_k | b_k] — the conformer analog of the LSTM gate
+# shuffle above. The KV ring state h and conv state c shard with the heads /
+# conv channels (each device carries its own heads' rings).
+# ---------------------------------------------------------------------------
+
+# [L, d, X] matrices whose LAST axis shards (X = heads*dk, F, or d)
+_CONF_COL = ("att_q", "att_k", "att_v", "ff1_a", "ff2_a", "cv_pw1", "cv_dw")
+# [L, X] vectors that shard with the matching column shard
+_CONF_COL_B = (
+    "att_qb", "att_kb", "att_vb", "ff1_ab", "ff2_ab", "cv_pw1b", "cv_dwb",
+)
+# [L, X, d] matrices whose MIDDLE axis shards (partial outputs -> psum)
+_CONF_ROW = ("att_o", "ff1_o", "ff2_o", "cv_pw2")
+
+
+def conformer_tp_specs(params: Dict, model_axis="model") -> Dict[str, P]:
+    """PartitionSpec per param for the conformer shard_map TP path (glu-
+    shuffled cv_pw1 layout); everything else (embed convs, layer norms,
+    output biases, decoder, joiner) is replicated."""
+    specs: Dict[str, P] = {}
+    for k in params:
+        base = k[:-3] if k.endswith("_q8") else (
+            k[:-4] if k.endswith("_q8s") else k
+        )
+        if base == "rel_bias":
+            specs[k] = P(None, model_axis, None)
+        elif base in _CONF_COL:
+            # q8s scales are per-output-column [L, 1, X]: shard with columns
+            specs[k] = P(None, None, model_axis)
+        elif base in _CONF_COL_B:
+            specs[k] = P(None, model_axis)
+        elif base in _CONF_ROW:
+            if k.endswith("_q8s"):
+                specs[k] = P()  # per-column scales span all row shards
+            else:
+                specs[k] = P(None, model_axis, None)
+        else:
+            specs[k] = P()
+    return specs
+
+
+def glu_shuffle_perm(d: int, m: int) -> np.ndarray:
+    """Permutation of cv_pw1's 2d column axis: shard k's contiguous slice
+    becomes [a-half cols k*d/m:(k+1)*d/m | b-half cols d + same range]."""
+    if d % m:
+        raise ValueError(f"d_model {d} not divisible by model_parallel {m}")
+    dl = d // m
+    perm = np.empty(2 * d, np.int64)
+    pos = 0
+    for k in range(m):
+        perm[pos : pos + dl] = k * dl + np.arange(dl)
+        perm[pos + dl : pos + 2 * dl] = d + k * dl + np.arange(dl)
+        pos += 2 * dl
+    return perm
+
+
+def glu_shuffle_columns(params: Dict, m: int) -> Dict:
+    """Apply the GLU column shuffle to cv_pw1 (+ its bias and q8 copies).
+    No-op for m == 1; apply exactly once, to the stock layout."""
+    if m == 1:
+        return params
+    out = dict(params)
+    d2 = params["cv_pw1"].shape[-1]
+    perm = glu_shuffle_perm(d2 // 2, m)
+    for k in ("cv_pw1", "cv_pw1b", "cv_pw1_q8", "cv_pw1_q8s"):
+        if k in params:
+            out[k] = jax.numpy.take(params[k], perm, axis=-1)
+    return out
+
+
+def conformer_tp_eligible(params: Dict, dims, m: int) -> bool:
+    """Whether the conformer shard_map TP path can serve these weights."""
+    return (
+        "att_q" in params
+        and "cv_dw" in params
+        and dims.heads % m == 0
+        and dims.ffn % m == 0
+        and dims.d_model % m == 0
+    )
+
+
+def prepare_conformer_tp_weights(params: Dict, mesh: Mesh) -> Dict:
+    """GLU-shuffle + place conformer weights for the shard_map TP engine."""
+    model_axes = tuple(mesh.axis_names[1:])
+    m = 1
+    for ax in model_axes:
+        m *= mesh.shape[ax]
+    shuffled = glu_shuffle_columns(params, m)
+    specs = conformer_tp_specs(
+        shuffled, model_axes if len(model_axes) != 1 else model_axes[0]
+    )
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, specs[k]))
+        for k, v in shuffled.items()
+    }
+
+
 def prepare_tp_weights(params: Dict, mesh: Mesh) -> Dict:
     """Gate-shuffle + place weights for the shard_map TP engine: sharded
     per tp_param_specs over `mesh` (model axes = mesh.axis_names[1:],
