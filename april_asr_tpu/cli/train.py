@@ -134,7 +134,11 @@ def main(argv=None) -> int:
             )
         ),
     )
-    init_fn, step_fn = make_train_step(dims, blank_id=tok.blank_id, optimizer=optimizer)
+    # mesh passed through: data-parallel-only meshes get the explicit
+    # single-collective shard_map step (see make_train_step docstring)
+    init_fn, step_fn = make_train_step(
+        dims, blank_id=tok.blank_id, optimizer=optimizer, mesh=mesh
+    )
 
     init_params = (init_conformer_params if args.arch == "conformer" else init_transducer_params)
     params = init_params(jax.random.PRNGKey(args.seed), dims)

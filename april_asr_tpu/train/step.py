@@ -94,18 +94,86 @@ def make_train_step(
     dims: TransducerDims,
     blank_id: int,
     optimizer: optax.GradientTransformation | None = None,
+    mesh=None,
 ):
-    """Returns (init_fn, step_fn): step_fn(state, batch) -> (state, loss)."""
+    """Returns (init_fn, step_fn): step_fn(state, batch) -> (state, loss).
+
+    With a data-parallel-only `mesh` (every non-leading axis of size 1), the
+    step is built as an explicit shard_map whose ENTIRE cross-device traffic
+    is ONE psum of the flat [grads; loss] vector, instead of letting GSPMD
+    infer one all-reduce per parameter leaf. Besides being the explicit
+    TPU-native formulation (pick a mesh, place the collective yourself),
+    this is a hard correctness requirement on host-platform (virtual-device
+    CPU) meshes: XLA:CPU's thunk executor runs independent collectives of
+    one execution in whatever order they become ready PER SHARD, so two
+    GSPMD gradient all-reduces can interleave across shards — some shards
+    enter collective A first, the rest enter B first — and every participant
+    then blocks in its rendezvous until the 40 s termination timeout
+    LOG(FATAL)s the process (xla rendezvous.cc:127; reproduced in this
+    repo's test suite). A single collective cannot split that way.
+
+    Meshes with a model axis keep the GSPMD step (tensor-parallel weights
+    need GSPMD's sharding propagation through the forward/backward).
+    """
     optimizer = optimizer or optax.adamw(1e-3)
     loss_fn = transducer_loss_fn(dims, blank_id)
 
     def init_fn(params) -> TrainState:
         return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.int32(0))
 
+    data_only = mesh is not None and all(
+        mesh.shape[ax] == 1 for ax in mesh.axis_names[1:]
+    )
+
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        if data_only:
+            loss, grads = _dp_loss_and_grads(
+                loss_fn, mesh, state.params, batch
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1), loss
 
     return init_fn, step_fn
+
+
+def _dp_loss_and_grads(loss_fn, mesh, params, batch):
+    """Data-parallel loss+grads with exactly ONE collective.
+
+    Parameters enter the shard_map replicated as ONE flat vector (so the
+    backward pass owes a single psum for the broadcast, not one per leaf);
+    the local mean loss is appended to the local gradient vector and the
+    concatenation crosses the mesh as a single psum. Equal shard sizes make
+    mean-of-shard-means the exact global batch mean.
+    """
+    from jax.flatten_util import ravel_pytree
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map as _shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+    data_axis = mesh.axis_names[0]
+    n_shards = mesh.shape[data_axis]
+    flat, unravel = ravel_pytree(params)
+
+    def body(flat_v, local_batch):
+        loss_l, g_l = jax.value_and_grad(
+            lambda fv: loss_fn(unravel(fv), local_batch)
+        )(flat_v)
+        packed = jnp.concatenate([g_l, loss_l[None]])
+        return jax.lax.psum(packed, data_axis)
+
+    batch_specs = jax.tree.map(lambda _: P(data_axis), batch)
+    packed = _shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), batch_specs),
+        out_specs=P(),
+        check_vma=False,
+    )(flat, batch)
+    scale = 1.0 / n_shards
+    return packed[-1] * scale, unravel(packed[:-1] * scale)
