@@ -33,6 +33,8 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from ..ops.activations import sigmoid as _sig
 import numpy as np
 
 from .lstm_transducer import (
@@ -227,7 +229,7 @@ def _stacked_params(params):
 
 
 def _swish(x):
-    return x * jax.nn.sigmoid(x)
+    return x * _sig(x)
 
 
 # ---------------------------------------------------------------------------
@@ -317,7 +319,7 @@ def _block_step(p_l, x, h_l, c_l, dims: ConformerDims, gate=None, axis=None):
     # -- causal conv module ------------------------------------------------
     u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
     g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)  # [S, 2*dc]
-    g = g[:, :dc] * jax.nn.sigmoid(g[:, dc:])  # GLU (TP: glu-shuffled halves)
+    g = g[:, :dc] * _sig(g[:, dc:])  # GLU (TP: glu-shuffled halves)
     window = jnp.concatenate([conv_st, g[:, None, :]], axis=1)  # [S, k, dc]
     dw = jnp.einsum(
         "skd,kd->sd", window, p_l["cv_dw"].astype(jnp.float32),
@@ -512,7 +514,7 @@ def conformer_encoder_chunk(
         # -- causal conv over [conv_st ‖ chunk] ----------------------------
         u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
         g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)
-        g = g[:, :, :dc] * jax.nn.sigmoid(g[:, :, dc:])  # [S, P, dc]
+        g = g[:, :, :dc] * _sig(g[:, :, dc:])  # [S, P, dc]
         full = jnp.concatenate([conv_st, g], axis=1)  # [S, k-1+P, dc]
         dwk = p_l["cv_dw"].astype(jnp.float32)  # [k, dc]
         dw = sum(full[:, i : i + P] * dwk[i] for i in range(k)) + p_l[
@@ -621,7 +623,7 @@ def conformer_encoder_seq(
 
         u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
         g = _mmq(p_l, "cv_pw1", u) + p_l["cv_pw1b"].astype(jnp.float32)
-        g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, W, d]
+        g = g[:, :, :d] * _sig(g[:, :, d:])  # [S, W, d]
         padded = jnp.pad(g, ((0, 0), (k - 1, 0), (0, 0)))
         dw = sum(
             padded[:, i : i + W] * p_l["cv_dw"].astype(jnp.float32)[i]

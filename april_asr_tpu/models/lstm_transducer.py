@@ -227,7 +227,7 @@ def _mm(x, w):
 
 def _double_swish(x):
     """x * sigmoid(x - 1) (icefall DoubleSwish; fused by XLA)."""
-    return x * jax.nn.sigmoid(x - 1.0)
+    return x * _sig(x - 1.0)
 
 
 def _basic_norm(x, eps):
@@ -261,6 +261,7 @@ def conv_subsample(params: Params, x: jnp.ndarray) -> jnp.ndarray:
 
 # Pallas dispatch for the layer body: see ops/dispatch.py (shared with the
 # fbank frontend). Re-exported here for call sites that think in model terms.
+from ..ops.activations import sigmoid as _sig
 from ..ops.dispatch import pallas_disabled, pallas_wanted as _pallas_wanted  # noqa: E402
 
 
@@ -358,8 +359,8 @@ def _lstm_stack_step(
         gates = _mm(x, w_ih_t) + _mm(h_l, w_hh_t) + bias.astype(jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         # cell state stays f32 (streaming error must not compound)
-        c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        c_new = _sig(f) * c_l + _sig(i) * jnp.tanh(g)
+        hc = _sig(o) * jnp.tanh(c_new)
         h_new = _mm(hc, w_hr_t)
 
         y = x + h_new  # residual LSTM
@@ -406,8 +407,8 @@ def _lstm_stack_step_q8(
         )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         # cell state stays f32 (streaming error must not compound)
-        c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        c_new = _sig(f) * c_l + _sig(i) * jnp.tanh(g)
+        hc = _sig(o) * jnp.tanh(c_new)
         h_new = _q8_mm(hc, whrq, whrs)
 
         y = x + h_new  # residual LSTM
@@ -493,8 +494,8 @@ def _lstm_stack_chunk(
             gates = gx_t + _mm(h_t, w_hh_t)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             # cell state stays f32 (streaming error must not compound)
-            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+            hc = _sig(o) * jnp.tanh(c_new)
             h_new = _mm(hc, w_hr_t)
             if gate is not None:
                 m = xs[1][:, None]
@@ -644,8 +645,8 @@ def _lstm_stack_chunk_q8(
             gates = gx_t + _q8_mm(h_t, whhq, whhs) + bias.astype(jnp.float32)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
             # cell state stays f32 (streaming error must not compound)
-            c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+            hc = _sig(o) * jnp.tanh(c_new)
             h_new = _q8_mm(hc, whrq, whrs)
             if gate is not None:
                 m = xs[1][:, None]
@@ -806,8 +807,8 @@ def _lstm_stack_step_tp(
                     + bias.astype(jnp.float32)
                 )
                 i, f, g, o = jnp.split(gates, 4, axis=-1)
-                c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
-                hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+                c_new = _sig(f) * c_l + _sig(i) * jnp.tanh(g)
+                hc = _sig(o) * jnp.tanh(c_new)
                 if gate is not None:
                     c_new = jnp.where(gate[:, None], c_new, c_l)
             h_new = tp_q8_contract(hc, wq["w_hr_t_q8"], wq["w_hr_t_q8s"], axis)
@@ -841,8 +842,8 @@ def _lstm_stack_step_tp(
         else:
             gates = _mm(x, w_ih) + _mm(h_l, w_hh) + bias.astype(jnp.float32)
             i, f, g, o = jnp.split(gates, 4, axis=-1)
-            c_new = jax.nn.sigmoid(f) * c_l + jax.nn.sigmoid(i) * jnp.tanh(g)
-            hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+            c_new = _sig(f) * c_l + _sig(i) * jnp.tanh(g)
+            hc = _sig(o) * jnp.tanh(c_new)
             hp = _mm(hc, w_hr)
             if gate is not None:
                 c_new = jnp.where(gate[:, None], c_new, c_l)

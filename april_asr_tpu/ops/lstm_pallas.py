@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .activations import sigmoid as _sig
+
 
 def _layer_kernel(
     gated,
@@ -73,8 +75,8 @@ def _layer_kernel(
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
     # cell state stays f32 (streaming error must not compound)
-    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_ref[:] + _sig(i) * jnp.tanh(g)
+    hc = _sig(o) * jnp.tanh(c_new)
     h_new = jnp.dot(hc.astype(wd), whr_ref[:], preferred_element_type=jnp.float32)
 
     y = x.astype(jnp.float32) + h_new  # residual LSTM
@@ -82,7 +84,7 @@ def _layer_kernel(
         jnp.dot(y.astype(wd), ff1_ref[:], preferred_element_type=jnp.float32)
         + f1b_ref[:].astype(jnp.float32)
     )
-    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    mid = mid * _sig(mid - 1.0)  # DoubleSwish
     ff = (
         jnp.dot(mid.astype(wd), ff2_ref[:], preferred_element_type=jnp.float32)
         + f2b_ref[:].astype(jnp.float32)
@@ -148,8 +150,8 @@ def _chunk_kernel(
         g = gates[:, 2 * H : 3 * H]
         o = gates[:, 3 * H :]
         # cell state stays f32 (streaming error must not compound)
-        c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+        hc = _sig(o) * jnp.tanh(c_new)
         h_new = jnp.dot(hc.astype(wd), whr_ref[:], preferred_element_type=jnp.float32)
 
         y = x.astype(jnp.float32) + h_new  # residual LSTM
@@ -157,7 +159,7 @@ def _chunk_kernel(
             jnp.dot(y.astype(wd), ff1_ref[:], preferred_element_type=jnp.float32)
             + f1b_ref[:].astype(jnp.float32)
         )
-        mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+        mid = mid * _sig(mid - 1.0)  # DoubleSwish
         ff = (
             jnp.dot(mid.astype(wd), ff2_ref[:], preferred_element_type=jnp.float32)
             + f2b_ref[:].astype(jnp.float32)
@@ -345,8 +347,8 @@ def _layer_kernel_i8(
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
     # cell state stays f32 (streaming error must not compound)
-    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_ref[:] + _sig(i) * jnp.tanh(g)
+    hc = _sig(o) * jnp.tanh(c_new)
     hcq, hcs = _rowq8(hc)
     h_new = jnp.dot(hcq, whr_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
@@ -357,7 +359,7 @@ def _layer_kernel_i8(
     mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
     ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
-    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    mid = mid * _sig(mid - 1.0)  # DoubleSwish
     mq, ms = _rowq8(mid)
     ff = jnp.dot(mq, ff2_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
@@ -547,8 +549,8 @@ def _chunk_kernel_i8(
         g = gates[:, 2 * H : 3 * H]
         o = gates[:, 3 * H :]
         # cell state stays f32 (streaming error must not compound)
-        c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+        hc = _sig(o) * jnp.tanh(c_new)
         hcq, hcs = _rowq8(hc)
         h_new = jnp.dot(
             hcq, whr_ref[:], preferred_element_type=jnp.int32
@@ -559,7 +561,7 @@ def _chunk_kernel_i8(
         mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
             jnp.float32
         ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
-        mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+        mid = mid * _sig(mid - 1.0)  # DoubleSwish
         mq, ms = _rowq8(mid)
         ff = jnp.dot(mq, ff2_ref[:], preferred_element_type=jnp.int32).astype(
             jnp.float32
@@ -747,8 +749,8 @@ def _rec_kernel_i8(
         g = gates[:, 2 * H : 3 * H]
         o = gates[:, 3 * H :]
         # cell state stays f32 (streaming error must not compound)
-        c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+        hc = _sig(o) * jnp.tanh(c_new)
         hcq, hcs = _rowq8(hc)
         h_new = jnp.dot(
             hcq, whr_ref[:], preferred_element_type=jnp.int32
@@ -913,8 +915,8 @@ def _rec_stream_kernel_i8(
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
     # cell state stays f32 (streaming error must not compound)
-    c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+    hc = _sig(o) * jnp.tanh(c_new)
     hcq, hcs = _rowq8(hc)
     h_new = jnp.dot(hcq, whr_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
@@ -1079,8 +1081,8 @@ def _rec_stream2_kernel_i8(
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
     # cell state stays f32 (streaming error must not compound)
-    c_new = jax.nn.sigmoid(f) * c_t + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_t + _sig(i) * jnp.tanh(g)
+    hc = _sig(o) * jnp.tanh(c_new)
     hcq, hcs = _rowq8(hc)
     h_new = jnp.dot(hcq, whr_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
@@ -1218,7 +1220,7 @@ def _ffn_norm_kernel_i8(
     mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
     ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
-    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    mid = mid * _sig(mid - 1.0)  # DoubleSwish
     mq, ms = _rowq8(mid)
     ff = jnp.dot(mq, ff2_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32

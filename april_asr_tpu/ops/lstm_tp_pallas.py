@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .activations import sigmoid as _sig
+
 from .lstm_pallas import _rowq8
 
 
@@ -73,8 +75,8 @@ def _gcp_kernel(
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
     # cell state stays f32 (streaming error must not compound)
-    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_ref[:] + _sig(i) * jnp.tanh(g)
+    hc = _sig(o) * jnp.tanh(c_new)
     hp_ref[:] = jnp.dot(hc.astype(wd), whr_ref[:], preferred_element_type=jnp.float32)
     if gated:
         gt = gate_ref[:]
@@ -185,8 +187,8 @@ def _gc_kernel_i8(
     f = gates[:, H : 2 * H]
     g = gates[:, 2 * H : 3 * H]
     o = gates[:, 3 * H :]
-    c_new = jax.nn.sigmoid(f) * c_ref[:] + jax.nn.sigmoid(i) * jnp.tanh(g)
-    hc_ref[:] = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    c_new = _sig(f) * c_ref[:] + _sig(i) * jnp.tanh(g)
+    hc_ref[:] = _sig(o) * jnp.tanh(c_new)
     if gated:
         gt = gate_ref[:]
         c2_ref[:] = gt * c_new + (1.0 - gt) * c_ref[:]
@@ -279,7 +281,7 @@ def _ffn_kernel(y_ref, ff1_ref, f1b_ref, ff2_ref, out_ref):
         jnp.dot(y.astype(wd), ff1_ref[:], preferred_element_type=jnp.float32)
         + f1b_ref[:].astype(jnp.float32)
     )
-    mid = mid * jax.nn.sigmoid(mid - 1.0)  # DoubleSwish
+    mid = mid * _sig(mid - 1.0)  # DoubleSwish
     out_ref[:] = jnp.dot(mid.astype(wd), ff2_ref[:], preferred_element_type=jnp.float32)
 
 
@@ -332,7 +334,7 @@ def _ffn_mid_kernel_i8(y_ref, ff1_ref, ff1_s_ref, f1b_ref, mid_ref):
     mid = jnp.dot(yq, ff1_ref[:], preferred_element_type=jnp.int32).astype(
         jnp.float32
     ) * (ys * ff1_s_ref[:]) + f1b_ref[:].astype(jnp.float32)
-    mid_ref[:] = mid * jax.nn.sigmoid(mid - 1.0)
+    mid_ref[:] = mid * _sig(mid - 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("block_s", "interpret"))

@@ -513,6 +513,10 @@ def main():
         # audio-s/s >= S, i.e. the batched step beats the 1 s chunk cadence
         (12288, 1.0, default_arch),
         (8192, 1.0, default_arch),
+        # throughput point: S=2048 is transfer-bound through this
+        # environment's tunnel (~65 ms wall vs ~57 ms device); S=4096
+        # amortizes the readback and is the audio-s/s record holder
+        (4096, 1.0, default_arch),
         (2048, 1.0, default_arch),
         (2048, 0.2, default_arch),
         (1024, 1.0, "conformer" if default_arch == "lstm" else default_arch),
