@@ -350,7 +350,7 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
 
 
 def _run_one_subprocess(
-    S: int, chunk_s: float, timeout_s: float, arch: str
+    S: int, chunk_s: float, timeout_s: float, arch: str, steps: int | None = None
 ) -> dict | None:
     """Run one config in a child process so a wedged backend compile (the
     remote TPU service here can hang indefinitely) cannot take down the
@@ -359,6 +359,9 @@ def _run_one_subprocess(
     import subprocess
 
     global _child
+    env = dict(os.environ)
+    if steps is not None:
+        env["APRIL_BENCH_STEPS"] = str(steps)
     proc = subprocess.Popen(
         [
             sys.executable,
@@ -370,6 +373,7 @@ def _run_one_subprocess(
         ],
         stdout=subprocess.PIPE,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=env,
     )
     _child = proc
     timed_out = False
@@ -506,18 +510,24 @@ def main():
     # (1 s chunks), the low-latency serving point (200 ms chunks — reference
     # cadence, april_session.c:515 SEGSIZE), and the second model family.
     default_arch = os.environ.get("APRIL_BENCH_ARCH", "lstm")
+    # Every rung earns its slot (the remote tunnel wedges a dispatch for
+    # minutes at random, so any config can burn its whole timeout — a lean
+    # ladder is what lets the summary keep all four clauses):
+    #   256    — insurance: compiles in ~1 min, banks the first number
+    #   12288  — THE north-star rung (BASELINE.md: >=10,000 concurrent
+    #            realtime sessions; >=1x realtime means audio-s/s >= S);
+    #            retried at the end if it fails and budget remains
+    #   4096   — throughput record holder (S=2048 is transfer-bound through
+    #            the tunnel: ~65 ms wall vs ~57 ms device; 4096 amortizes
+    #            the readback; 8192 measured within ~3% of it)
+    #   2048/0.2 — low-latency serving point (reference 200 ms cadence,
+    #            april_session.c:515 SEGSIZE)
+    #   1024 conformer — second model family
+    NORTH_STAR = (12288, 1.0, default_arch)
     configs = [
         (256, 1.0, default_arch),
-        # the north-star concurrency rungs (BASELINE.md: >=10,000 concurrent
-        # realtime 16 kHz sessions per host): >=1x realtime means
-        # audio-s/s >= S, i.e. the batched step beats the 1 s chunk cadence
-        (12288, 1.0, default_arch),
-        (8192, 1.0, default_arch),
-        # throughput point: S=2048 is transfer-bound through this
-        # environment's tunnel (~65 ms wall vs ~57 ms device); S=4096
-        # amortizes the readback and is the audio-s/s record holder
+        NORTH_STAR,
         (4096, 1.0, default_arch),
-        (2048, 1.0, default_arch),
         (2048, 0.2, default_arch),
         (1024, 1.0, "conformer" if default_arch == "lstm" else default_arch),
     ]
@@ -560,19 +570,26 @@ def main():
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
 
-    for S, chunk_s, arch in configs:
+    def run_config(S, chunk_s, arch):
         remaining = deadline - time.monotonic()
         # the insurance config (first rung) must finish; later rungs only
         # launch when they could plausibly complete AND a number is already
         # banked (never risk the official line on an expensive compile)
         if remaining < 60 or (_results and remaining < 120):
             print(f"# deadline reached, skipping ({S},{chunk_s})", file=sys.stderr)
-            continue
+            return
+        # big rungs: fewer timed steps (a per-step tunnel stall costs
+        # seconds-to-minutes and the median needs ~10 samples, not 20) and a
+        # capped timeout so ONE wedged attempt cannot starve every later rung
+        # (observed: the 12288 rung burning its full 540 s left the 4096 /
+        # low-latency / conformer rungs unmeasured)
+        cfg_steps = min(steps, 10) if S >= 8192 else steps
+        cfg_timeout = min(timeout_s, 420.0) if S >= 8192 else timeout_s
         r = None
         for attempt in range(1 + retries):
             if inproc:
                 try:
-                    r = _run_one(S, chunk_s, steps, arch)
+                    r = _run_one(S, chunk_s, cfg_steps, arch)
                 except Exception as e:
                     print(
                         f"# config ({S},{chunk_s}) failed: {type(e).__name__}: {e}",
@@ -580,13 +597,16 @@ def main():
                     )
                     r = None
             else:
-                r = _run_one_subprocess(S, chunk_s, min(timeout_s, remaining), arch)
+                r = _run_one_subprocess(
+                    S, chunk_s, min(cfg_timeout, remaining), arch,
+                    steps=cfg_steps,
+                )
             if r is not None:
                 break
             if attempt < retries:
                 print(f"# retrying config ({S},{chunk_s})", file=sys.stderr)
         if r is None:
-            continue
+            return
         hbm = (
             f", HBM {r['hbm_used_gib']} GiB"
             if r.get("hbm_used_gib") is not None
@@ -604,6 +624,20 @@ def main():
             file=sys.stderr,
         )
         _results.append(r)
+
+    for S, chunk_s, arch in configs:
+        run_config(S, chunk_s, arch)
+
+    # the north-star rung gets a second chance at the end: its failure mode
+    # is a randomly wedged tunnel, not the chip, and the demo (>=10,240
+    # concurrent realtime sessions) is the one clause a retry can rescue
+    if (
+        "APRIL_BENCH_BATCHES" not in os.environ
+        and not any(r.get("realtime") and r["S"] >= 10240 for r in _results)
+        and deadline - time.monotonic() >= 240
+    ):
+        print("# retrying the north-star rung with leftover budget", file=sys.stderr)
+        run_config(*NORTH_STAR)
 
     _emit_summary()
 
