@@ -38,6 +38,7 @@ from ..models.conformer import (
     _swish,
     conv_subsample,
 )
+from ..ops.activations import sigmoid as _sig
 
 try:  # jax >= 0.7 exposes shard_map at the top level
     from jax import shard_map as _shard_map
@@ -133,7 +134,7 @@ def conformer_encoder_seq_sp(
 
             u = _layer_norm(x, p_l["ln3_s"], p_l["ln3_b"])
             g = _mm(u, p_l["cv_pw1"]) + p_l["cv_pw1b"].astype(jnp.float32)
-            g = g[:, :, :d] * jax.nn.sigmoid(g[:, :, d:])  # [S, Wl, d]
+            g = g[:, :, :d] * _sig(g[:, :, d:])  # [S, Wl, d]
             # halo: last k-1 frames of the LEFT neighbor (zeros for shard 0)
             tail = g[:, -(k - 1):, :] if k > 1 else g[:, :0, :]
             halo = jax.lax.ppermute(

@@ -153,8 +153,12 @@ def _dp_loss_and_grads(loss_fn, mesh, params, batch):
 
     try:
         from jax import shard_map as _shard_map
+
+        _sm_kwargs = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map as _shard_map
+
+        _sm_kwargs = {"check_rep": False}
 
     data_axis = mesh.axis_names[0]
     n_shards = mesh.shape[data_axis]
@@ -173,7 +177,7 @@ def _dp_loss_and_grads(loss_fn, mesh, params, batch):
         mesh=mesh,
         in_specs=(P(), batch_specs),
         out_specs=P(),
-        check_vma=False,
+        **_sm_kwargs,
     )(flat, batch)
     scale = 1.0 / n_shards
     return packed[-1] * scale, unravel(packed[:-1] * scale)
