@@ -66,7 +66,16 @@ def build_beam_engine(
     cfg: EngineConfig | None = None,
     bcfg: BeamConfig | None = None,
     win: int = 72,  # reference token-window capacity (april_session.h:30)
+    mesh=None,
 ) -> BeamEngineProgram:
+    """`mesh` (first axis = data) runs the beam step data-parallel via
+    shard_map: every state leaf is [S, ...] (h/c are [L, S, .]) and the step
+    has no cross-session math, so sessions shard over the data axis with no
+    collectives — same scale path as the greedy engine (engine/step.py).
+    Tensor parallelism is not wired for beam: the [S, K]-wide hypothesis
+    arrays make S*K the effective batch, so DP over more chips is the
+    efficient scale-out; a TP mesh would shard the same matmuls the greedy
+    TP path shards but pay K times the per-shard decode glue."""
     cfg = cfg or EngineConfig()
     bcfg = bcfg or BeamConfig()
     layout = FbankLayout.build(rt.fbank_opts, cfg.chunk_samples)
@@ -84,7 +93,10 @@ def build_beam_engine(
     v_flush_pad = jax.vmap(lambda s: fbank_flush_pad(layout, s))
 
     def beam_pull(weights, fb, h, c, bstate, time_ms):
+        # batch from the traced shape, not the closure: under a shard_map
+        # DP mesh each shard sees S/n_devices rows
         can = fb["fifo_len"] >= seg
+        Sl = can.shape[0]
         x = v_peek(fb)
         time_ms = time_ms + stride * can.astype(jnp.int32)
         eout, h2, c2 = rt.encoder_step(weights, x, h, c)
@@ -92,7 +104,7 @@ def build_beam_engine(
         h = jnp.where(m3, h2, h)
         c = jnp.where(m3, c2, c)
 
-        can_k = jnp.broadcast_to(can[:, None], (S, K))
+        can_k = jnp.broadcast_to(can[:, None], (Sl, K))
         for _ in range(bcfg.max_symbols_per_frame):
             bstate, can_k = beam_expand_round(
                 weights, bstate, eout, can_k, can, rt.decoder_step, rt.joiner,
@@ -118,7 +130,7 @@ def build_beam_engine(
         row = jnp.concatenate(
             [
                 can.astype(jnp.int32)[:, None],
-                jnp.zeros((S, 1), jnp.int32),  # final flag (flush sets it)
+                jnp.zeros((Sl, 1), jnp.int32),  # final flag (flush sets it)
                 wlen[:, None],
                 time_ms[:, None],
                 window,
@@ -194,7 +206,7 @@ def build_beam_engine(
         carry = (fb, h, c, bstate, time_ms)
         carry, rA = jax.lax.scan(pad_round, carry, None, length=pad_pull_rounds)
         rows_all.append(rA)
-        zeros = jnp.zeros((S, layout.chunk), jnp.float32)
+        zeros = jnp.zeros((do_flush.shape[0], layout.chunk), jnp.float32)
         for _ in range(2):
             rem = FLUSH_BLOCK
             while rem > 0:
@@ -234,7 +246,7 @@ def build_beam_engine(
             axis=1,
         )[:, None, :]
 
-        fresh = _init_beam(S, K, ctx, rt, jnp_weights=weights)
+        fresh = _init_beam(do_flush.shape[0], K, ctx, rt, jnp_weights=weights)
         m2 = do_flush[:, None]
         bstate = {
             "scores": jnp.where(m2, fresh["scores"], bstate["scores"]),
@@ -269,13 +281,59 @@ def build_beam_engine(
             "lengths": jnp.zeros((S, K), jnp.int32),
         }
 
+    if mesh is None:
+        step_c = jax.jit(step, donate_argnums=(1,))
+        flush_c = jax.jit(flush, donate_argnums=(1,))
+    else:
+        from jax.sharding import PartitionSpec as PS
+
+        try:
+            from jax import shard_map as _shard_map
+
+            _sm_kwargs = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            _sm_kwargs = {"check_rep": False}
+
+        d_ax = mesh.axis_names[0]
+        if batch % mesh.shape[d_ax]:
+            raise ValueError(
+                f"batch {batch} not divisible by data axis {mesh.shape[d_ax]}"
+            )
+        state_specs = {
+            "fbank": PS(d_ax),
+            "h": PS(None, d_ax),
+            "c": PS(None, d_ax),
+            "beam": PS(d_ax),
+            "time_ms": PS(d_ax),
+        }
+        step_c = jax.jit(
+            _shard_map(
+                step, mesh=mesh,
+                in_specs=(PS(), state_specs, PS(d_ax), PS(d_ax)),
+                out_specs=(state_specs, PS(d_ax)),
+                **_sm_kwargs,
+            ),
+            donate_argnums=(1,),
+        )
+        flush_c = jax.jit(
+            _shard_map(
+                flush, mesh=mesh,
+                in_specs=(PS(), state_specs, PS(d_ax)),
+                out_specs=(state_specs, PS(d_ax)),
+                **_sm_kwargs,
+            ),
+            donate_argnums=(1,),
+        )
+
     prog = BeamEngineProgram(
         rt=rt, layout=layout, cfg=cfg, bcfg=bcfg, win=win,
-        step=jax.jit(step, donate_argnums=(1,)),
-        flush=jax.jit(flush, donate_argnums=(1,)),
-        batch=batch,
+        step=step_c, flush=flush_c, batch=batch,
     )
     prog._init_beam = functools.partial(_init_beam, S, K, ctx, rt)  # type: ignore[attr-defined]
+    prog._mesh = mesh  # type: ignore[attr-defined]
+    prog._state_specs = None if mesh is None else state_specs  # type: ignore[attr-defined]
     return prog
 
 
@@ -283,8 +341,18 @@ def init_beam_engine_state(prog: BeamEngineProgram, weights=None) -> Dict:
     rt = prog.rt
     S = prog.batch
     weights = rt.weights if weights is None else weights
+    mesh = getattr(prog, "_mesh", None)
+    jit_kw = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding
 
-    @jax.jit
+        jit_kw["out_shardings"] = jax.tree.map(
+            lambda spec: NamedSharding(mesh, spec),
+            prog._state_specs,  # type: ignore[attr-defined]
+            is_leaf=lambda x: not isinstance(x, dict),
+        )
+
+    @functools.partial(jax.jit, **jit_kw)
     def build(w):
         fb = jax.vmap(lambda _: fbank_init(prog.layout))(jnp.arange(S))
         h = jnp.zeros((rt.state_shapes[0][0], S, rt.state_shapes[0][1]), jnp.float32)
@@ -357,9 +425,10 @@ class BeamEngine:
         cfg: EngineConfig | None = None,
         bcfg: BeamConfig | None = None,
         prog: Optional[BeamEngineProgram] = None,
+        mesh=None,
     ):
         self.rt = rt
-        self.prog = prog or build_beam_engine(rt, batch, cfg, bcfg)
+        self.prog = prog or build_beam_engine(rt, batch, cfg, bcfg, mesh=mesh)
         self.cfg = self.prog.cfg
         self.batch = batch
         self.weights = rt.weights

@@ -127,3 +127,33 @@ def test_streaming_beam_sessions_isolated(rt):
     eng.flush(np.ones(3, bool))
     assert streams[0] == streams[1]
     assert streams[0] != streams[2]
+
+
+def test_beam_engine_dp_mesh_equality(rt):
+    """Beam engine on an 8-device data-parallel mesh produces EXACTLY the
+    callbacks of the single-device engine (VERDICT r4 task 3: beam's scale
+    path). Sessions shard over the data axis; no collectives are needed."""
+    from april_asr_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # (8,) data mesh on the virtual CPU devices
+    S = 8
+
+    def run(mesh_arg):
+        out = [[] for _ in range(S)]
+        eng = BeamEngine(rt, batch=S, bcfg=BeamConfig(beam=4), mesh=mesh_arg)
+        for i in range(S):
+            sid = eng.alloc(
+                lambda r, toks, i=i: out[i].append(
+                    (r, tuple(t.token_id for t in toks))
+                )
+            )
+            eng.feed(sid, _audio(seed=100 + i, n=9600))
+        while eng.tick():
+            pass
+        eng.flush(np.ones(S, bool))
+        return out
+
+    ref = run(None)
+    dp = run(mesh)
+    assert any(len(o) for o in ref)  # streams actually produced results
+    assert dp == ref
