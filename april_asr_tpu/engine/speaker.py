@@ -43,7 +43,12 @@ def save_speaker_state(engine, slot: int, model_name: str, speaker_key: str) -> 
         # _step_lock: the serve tick thread mutates engine.state concurrently;
         # snapshot a consistent post-step state, not a mid-transition one.
         with engine._step_lock:
-            st = engine.state
+            # canonical_state: under shard_map TP the h/c leaves are gathered
+            # to the canonical layout first, so a speaker saved on a TP mesh
+            # restores into any serving geometry (parallel/multihost.py)
+            from ..parallel.multihost import canonical_state
+
+            st = canonical_state(engine)
             rows = {
                 "h": np.asarray(st["h"])[:, slot],
                 "c": np.asarray(st["c"])[:, slot],
@@ -68,15 +73,21 @@ def restore_speaker_state(
     try:
         import jax.numpy as jnp
 
+        from ..parallel.multihost import rows_from_canonical
+
         data = np.load(path)
+        # snapshots store the canonical layout; map onto this engine's
+        # (possibly TP-rearranged) global h/c layout before the row write
+        h_rows = rows_from_canonical(engine, "h", jnp.asarray(data["h"])[:, None])[:, 0]
+        c_rows = rows_from_canonical(engine, "c", jnp.asarray(data["c"])[:, None])[:, 0]
         # _step_lock: the read-modify-write of engine.state must not
         # interleave with a concurrent tick — a tick completing between the
         # read and the assignment would be silently rewound for EVERY slot.
         with engine._step_lock:
             st = dict(engine.state)
             st["decode"] = dict(st["decode"])
-            st["h"] = st["h"].at[:, slot].set(jnp.asarray(data["h"]))
-            st["c"] = st["c"].at[:, slot].set(jnp.asarray(data["c"]))
+            st["h"] = st["h"].at[:, slot].set(h_rows)
+            st["c"] = st["c"].at[:, slot].set(c_rows)
             st["decode"]["context"] = (
                 st["decode"]["context"].at[slot].set(jnp.asarray(data["context"]))
             )

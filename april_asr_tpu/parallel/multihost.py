@@ -260,6 +260,112 @@ def _session_axis(leaf_key: str) -> int:
     return 1 if leaf_key in ("h", "c") else 0
 
 
+# ---------------------------------------------------------------------------
+# TP <-> canonical state layout
+#
+# Snapshots are stored in the CANONICAL single-device layout so they restore
+# into any serving geometry (DP, TP of any width, single chip). Under
+# shard_map TP the global h/c arrays differ per family:
+#   * LSTM: h is replicated over the model axis; c's hidden axis shards as
+#     contiguous canonical slices (the gate shuffle maps shard k exactly onto
+#     hidden range [k*H/m, (k+1)*H/m) — parallel/tp.py module docstring), so
+#     the global array IS canonical and only the replication gather is needed.
+#   * Conformer: the global rows are m back-to-back per-shard blocks — shard
+#     j's KV ring and conv slice for ITS heads (d_local = d/m), plus a
+#     per-shard position scalar (global c width (k-1)*d + m vs canonical
+#     (k-1)*d + 1; engine/step.py state_shapes override). The transforms
+#     below reassemble/split those blocks.
+# ---------------------------------------------------------------------------
+
+
+def _conformer_tp_to_canonical(h, c, m: int, dims):
+    import jax.numpy as jnp
+
+    L, S = h.shape[0], h.shape[1]
+    C, k, d = dims.att_context, dims.conv_kernel, dims.d_model
+    dl = d // m
+    hb = h.reshape(L, S, m, 2 * C * dl)
+    kc = jnp.moveaxis(hb[..., : C * dl].reshape(L, S, m, C, dl), 2, 3)
+    vc = jnp.moveaxis(hb[..., C * dl :].reshape(L, S, m, C, dl), 2, 3)
+    h2 = jnp.concatenate(
+        [kc.reshape(L, S, C * d), vc.reshape(L, S, C * d)], axis=-1
+    )
+    cb = c.reshape(L, S, m, (k - 1) * dl + 1)
+    conv = jnp.moveaxis(cb[..., :-1].reshape(L, S, m, k - 1, dl), 2, 3)
+    pos = cb[..., 0, -1:]  # identical across shards (replicated counter)
+    c2 = jnp.concatenate([conv.reshape(L, S, (k - 1) * d), pos], axis=-1)
+    return h2, c2
+
+
+def _conformer_canonical_to_tp(arr, key: str, m: int, dims):
+    import jax.numpy as jnp
+
+    L, S = arr.shape[0], arr.shape[1]
+    C, k, d = dims.att_context, dims.conv_kernel, dims.d_model
+    dl = d // m
+    if key == "h":
+        kc = jnp.moveaxis(arr[..., : C * d].reshape(L, S, C, m, dl), 3, 2)
+        vc = jnp.moveaxis(arr[..., C * d :].reshape(L, S, C, m, dl), 3, 2)
+        return jnp.concatenate(
+            [kc.reshape(L, S, m, C * dl), vc.reshape(L, S, m, C * dl)],
+            axis=-1,
+        ).reshape(L, S, 2 * C * d)
+    conv = jnp.moveaxis(arr[..., :-1].reshape(L, S, k - 1, m, dl), 3, 2)
+    pos = jnp.broadcast_to(arr[..., None, -1:], (L, S, m, 1))
+    return jnp.concatenate(
+        [conv.reshape(L, S, m, (k - 1) * dl), pos], axis=-1
+    ).reshape(L, S, (k - 1) * d + m)
+
+
+def _tp_model_size(engine) -> int:
+    tp_axes = getattr(engine.prog, "tp_axes", None)
+    if not tp_axes or getattr(engine, "mesh", None) is None:
+        return 1
+    m = 1
+    for ax in tp_axes:
+        m *= engine.mesh.shape[ax]
+    return m
+
+
+def canonical_state(engine) -> Dict:
+    """`engine.state` with every model-sharded leaf gathered to the canonical
+    single-device layout (replicated over the model axis, still sharded over
+    data). Identity for DP/single-device engines. In a multi-process TP mesh
+    this is a collective — every process must call it together (snapshots are
+    periodic, taken while all hosts are alive)."""
+    m = _tp_model_size(engine)
+    if m == 1:
+        return engine.state
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = engine.mesh
+    dims = engine.rt.dims
+    fam = engine.prog.tp_family
+
+    def fix(h, c):
+        if fam == "conformer":
+            return _conformer_tp_to_canonical(h, c, m, dims)
+        return h, c  # LSTM: global layout is already canonical
+
+    ns = NamedSharding(mesh, P(None, mesh.axis_names[0]))
+    h, c = jax.jit(fix, out_shardings=(ns, ns))(
+        engine.state["h"], engine.state["c"]
+    )
+    return {**engine.state, "h": h, "c": c}
+
+
+def rows_from_canonical(engine, key: str, rows):
+    """Inverse of canonical_state for one h/c leaf: canonical rows -> this
+    engine's global layout (identity unless the engine is conformer TP)."""
+    m = _tp_model_size(engine)
+    if m == 1 or key not in ("h", "c"):
+        return rows
+    if engine.prog.tp_family == "conformer":
+        return _conformer_canonical_to_tp(rows, key, m, engine.rt.dims)
+    return rows
+
+
 def _flatten_state(state: Dict) -> Dict[str, object]:
     flat = {}
     for k, v in state.items():
@@ -287,15 +393,13 @@ def _addressable_rows(arr, s_axis: int):
 def snapshot_local_slots(engine, path: str) -> Tuple[int, int]:
     """Write this process's slot rows of the ENTIRE engine state to `path`
     (.npz). Works for single-process engines too (all rows). Returns the
-    (lo, hi) row range saved. Not supported under shard_map TP (h/c rows are
-    split across model shards this process may not own)."""
-    if getattr(engine.prog, "tp_axes", None):
-        raise NotImplementedError(
-            "slot snapshots under shard_map TP are not supported; snapshot "
-            "from a data-parallel serving mesh"
-        )
+    (lo, hi) row range saved. Under shard_map TP the model-sharded h/c
+    leaves are first gathered to the canonical layout (canonical_state), so
+    a snapshot taken on any mesh restores into any mesh — this makes the
+    gather a collective across a multi-process TP mesh (reference analog:
+    the speaker-persistence reservation, april_api.h:78-84)."""
     with engine._step_lock:
-        flat = _flatten_state(engine.state)
+        flat = _flatten_state(canonical_state(engine))
         out = {}
         lo = hi = None
         for k, v in flat.items():
@@ -336,7 +440,9 @@ def restore_slots(engine, path: str, at: Optional[int] = None) -> Tuple[int, int
         for k in data.files:
             if k.startswith("__"):
                 continue
-            rows = jnp.asarray(data[k])
+            # snapshots are canonical-layout; map onto this engine's global
+            # layout (conformer TP rearranges + pads the h/c feature axis)
+            rows = rows_from_canonical(engine, k, jnp.asarray(data[k]))
             ax = _session_axis(k)
             idx = (slice(None),) * ax + (slice(dst, dst + n),)
             if "." in k:
