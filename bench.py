@@ -126,6 +126,7 @@ def bench_batch(
     warmup: int = 3,
     chunk_seconds: float = 0.2,
     interim=None,
+    beam: int = 0,
 ):
     """Returns (audio_seconds_per_second, step_ms, events_per_step).
 
@@ -145,9 +146,25 @@ def bench_batch(
     from april_asr_tpu.engine.replay import EventReplayer
 
     chunk = int(rt.sample_rate * chunk_seconds)
-    prog = build_engine(rt, batch=S, cfg=EngineConfig(chunk_samples=chunk))
-    state = init_engine_state(prog)
     audio_s_per_step = S * chunk / rt.sample_rate
+    if beam:
+        # beam serving rung (VERDICT r4 task 3): the beam engine's jitted
+        # step has the same (weights, state, audio, n) contract; events are
+        # dense [S, P, 4+win] best-hypothesis window rows replayed per slot
+        from april_asr_tpu.decode.beam import BeamConfig
+        from april_asr_tpu.engine.beam_engine import (
+            BeamReplayer,
+            build_beam_engine,
+            init_beam_engine_state,
+        )
+
+        prog = build_beam_engine(
+            rt, S, EngineConfig(chunk_samples=chunk), BeamConfig(beam=beam)
+        )
+        state = init_beam_engine_state(prog)
+    else:
+        prog = build_engine(rt, batch=S, cfg=EngineConfig(chunk_samples=chunk))
+        state = init_engine_state(prog)
 
     # 8 distinct tone-burst buffers cycled through the run so emissions stay
     # at a realistic sustained rate (identical repeated audio lets every
@@ -174,16 +191,30 @@ def bench_batch(
 
     sink = []
 
-    class _BenchSlot:
-        __slots__ = ("replayer",)
+    if beam:
+        replayers = [
+            BeamReplayer(rt.params, rt.vocab, lambda r, toks: sink.append(r))
+            for _ in range(S)
+        ]
 
-        def __init__(self):
-            self.replayer = EventReplayer(rt.params, lambda r, toks: sink.append(r))
+        def replay(rows):
+            arr = np.asarray(rows)
+            for s in range(arr.shape[0]):
+                rs = replayers[s]
+                for p in range(arr.shape[1]):
+                    rs.apply_row(arr[s, p])
+            return int(arr[:, :, 0].sum())  # valid pull rows replayed
+    else:
+        class _BenchSlot:
+            __slots__ = ("replayer",)
 
-    slots = [_BenchSlot() for _ in range(S)]
+            def __init__(self):
+                self.replayer = EventReplayer(rt.params, lambda r, toks: sink.append(r))
 
-    def replay(packed):
-        return replay_packed(packed, slots)
+        slots = [_BenchSlot() for _ in range(S)]
+
+        def replay(packed):
+            return replay_packed(packed, slots)
 
     # Warmup doubles as the compile step; heartbeat each one so a parent
     # staring at a silent child can tell compile from a wedged transport.
@@ -197,6 +228,21 @@ def bench_batch(
             file=sys.stderr,
             flush=True,
         )
+
+    # Device-step probe (VERDICT r4 weak #1): chains of dispatches with NO
+    # per-step host sync or event readback, blocked once per chain — the
+    # chip-attributable step time, separated from the tunnel's per-dispatch
+    # RTT and transfer cost (which amortize over the chain). Upper bound:
+    # chain wall includes ONE RTT, so /chain_len overstates by RTT/len.
+    dev_chain = []
+    CHAIN = 4
+    for ch in range(3):
+        t_c = time.perf_counter()
+        for j in range(CHAIN):
+            state, _ev = prog.step(rt.weights, state, bufs[(ch * CHAIN + j) % 8], n)
+        jax.block_until_ready(state)
+        dev_chain.append((time.perf_counter() - t_c) / CHAIN * 1000.0)
+    device_step_ms = (float(np.median(dev_chain)), float(np.max(dev_chain)))
 
     import contextlib
 
@@ -254,10 +300,10 @@ def bench_batch(
         lat.append(time.perf_counter() - t_disp)
         dt = time.perf_counter() - t0
 
-    return _stats(audio_s_per_step, durs, lat, n_events, steps, dt)
+    return _stats(audio_s_per_step, durs, lat, n_events, steps, dt, device_step_ms)
 
 
-def _stats(audio_s_per_step, durs, lat, n_events, steps, dt):
+def _stats(audio_s_per_step, durs, lat, n_events, steps, dt, device_step_ms=None):
     # Median step time is the throughput basis: the remote TPU service here
     # intermittently stalls a single dispatch for seconds-to-minutes, which
     # says nothing about the chip's steady-state rate. The mean is reported
@@ -275,12 +321,17 @@ def _stats(audio_s_per_step, durs, lat, n_events, steps, dt):
     clean = [x for x in lat if x <= stall_cut]
     stalls = [x for x in lat if x > stall_cut]
     p50, p99 = (float(np.percentile(clean, q)) * 1000.0 for q in (50, 99))
+    # wall p99 over ALL windows, stalls included — so a reader of the JSON
+    # can tell the chip's tail (device_step_ms / p99) from the harness's
+    wall_p99 = float(np.percentile(lat, 99)) * 1000.0
     return (
         audio_s_per_step / (step_ms / 1000.0),
         step_ms,
         n_events / max(steps, 1),
         (p50, p99, len(stalls), max(stalls) * 1000.0 if stalls else 0.0),
         mean_ms,
+        wall_p99,
+        device_step_ms,
     )
 
 
@@ -293,13 +344,20 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
 
         jax.config.update("jax_platforms", plat)
     prec = os.environ.get("APRIL_BENCH_PRECISION", "int8")
+    # arch 'beam<K>' = LSTM runtime decoded by the K-wide streaming beam
+    # engine (engine/beam_engine.py)
+    beam = 0
+    family = arch
+    if arch.startswith("beam"):
+        beam = int(arch[4:] or "4")
+        family = "lstm"
     print(
         f"# building runtime: arch={arch} precision={prec} S={S} chunk={chunk_s}s",
         file=sys.stderr,
         flush=True,
     )
     t_b = time.perf_counter()
-    rt = build_runtime(arch=arch)
+    rt = build_runtime(arch=family)
     print(
         f"# runtime built in {time.perf_counter() - t_b:.1f}s; compiling engine",
         file=sys.stderr,
@@ -324,10 +382,23 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
             pass
         return None, None
 
+    # model-FLOPs accounting (VERDICT r4 task 1): GFLOP per audio-second
+    # from the architecture dims; MFU = sustained TFLOP/s / chip peak at
+    # the active precision (utils/flops.py documents the counting rules)
+    from april_asr_tpu.utils.flops import (
+        chip_peak_tflops,
+        model_gflops_per_audio_second,
+    )
+
+    gfa = model_gflops_per_audio_second(rt.dims, family, beam=max(beam, 1))
+    peak = chip_peak_tflops("int8" if prec == "int8" else "bf16")
+
     def pack(res, done):
-        thr, step_ms, evps, (p50, p99, n_stalls, max_stall), mean_ms = res
+        thr, step_ms, evps, (p50, p99, n_stalls, max_stall), mean_ms = res[:5]
+        wall_p99 = res[5] if len(res) > 5 else None
+        dev = res[6] if len(res) > 6 else None
         hbm_used, hbm_lim = _hbm()
-        return {
+        r = {
             "S": S, "chunk_s": chunk_s, "thr": thr, "step_ms": step_ms,
             "evps": evps, "p50": p50, "p99": p99, "mean_ms": mean_ms,
             "stalls": n_stalls, "max_stall_ms": max_stall, "steps_done": done,
@@ -335,7 +406,20 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
             "hbm_used_gib": hbm_used, "hbm_limit_gib": hbm_lim,
             # >= 1x realtime for every one of the S concurrent sessions
             "realtime": bool(thr >= S),
+            "gflop_per_audio_s": round(gfa, 3),
+            "model_tflops": round(gfa * thr / 1000.0, 1),
+            "chip_peak_tflops": peak,
+            "mfu": round(gfa * thr / 1000.0 / peak, 4),
+            "wall_p99_ms": None if wall_p99 is None else round(wall_p99, 1),
         }
+        if dev is not None:
+            dev_thr = audio_s_per_step / (dev[0] / 1000.0)
+            r.update(
+                device_step_ms_p50=round(dev[0], 2),
+                device_step_ms_p99=round(dev[1], 2),
+                device_mfu=round(gfa * dev_thr / 1000.0 / peak, 4),
+            )
+        return r
 
     def interim(durs, lat, n_events, done):
         # printed + flushed so a parent-side timeout can still salvage a
@@ -344,7 +428,7 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
         print(json.dumps(r), flush=True)
 
     res = bench_batch(
-        rt, S, steps=steps, chunk_seconds=chunk_s, interim=interim
+        rt, S, steps=steps, chunk_seconds=chunk_s, interim=interim, beam=beam
     )
     return pack(res, steps)
 
@@ -447,6 +531,20 @@ def _emit_summary():
     )
     lowlat = min(_results, key=lambda r: (r["chunk_s"], r["p50"]))
     extra = ""
+    # INTERACTIVE north star: >=10,240 sessions at sub-second cadence with
+    # p99 partial latency under one chunk time (VERDICT r4 task 2)
+    inter = [
+        r for r in _results
+        if r["S"] >= 10240 and r["chunk_s"] < 1.0 and r.get("realtime")
+        and r["p99"] < r["chunk_s"] * 1000.0
+    ]
+    if inter:
+        ir = max(inter, key=lambda r: r["S"])
+        extra += (
+            f"; interactive north star: {ir['S']:,} sessions at "
+            f"{ir['chunk_s']*1000:.0f} ms chunks, p99 partial "
+            f"{ir['p99']:.0f} ms < chunk ({ir['step_ms']:.0f} ms step)"
+        )
     # north-star concurrency demo: the largest S that sustained >= 1x
     # realtime for every session (audio-s/s >= S)
     rt_rungs = [r for r in _results if r.get("realtime")]
@@ -471,35 +569,53 @@ def _emit_summary():
             f"; low-latency point: {lowlat['thr']:,.0f} audio-s/s at "
             f"{lowlat['chunk_s']*1000:.0f} ms chunks, p50 {lowlat['p50']:.0f} ms"
         )
-    other = [
-        r
-        for r in _results
-        if r.get("arch") not in (None, best.get("arch", _arch))
-    ]
-    if other:
-        ob = max(other, key=lambda r: r["thr"])
-        ofam = "Conformer" if ob["arch"] == "conformer" else "LSTM"
+    conf = [r for r in _results if r.get("arch") == "conformer"]
+    if conf and best.get("arch") != "conformer":
+        ob = max(conf, key=lambda r: r["thr"])
         extra += (
-            f"; {ofam} family: {ob['thr']:,.0f} audio-s/s at S={ob['S']}, "
+            f"; Conformer family: {ob['thr']:,.0f} audio-s/s at S={ob['S']}, "
             f"p50 {ob['p50']:.0f} ms"
         )
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"audio_seconds_per_second_per_chip (flagship {fam} transducer, "
-                    f"{best['S']} concurrent streaming sessions, lag-1 pipelined "
-                    f"dispatch incl. host event replay; {best['step_ms']:.0f} ms per "
-                    f"{best['chunk_s']:.1f} s chunk, partial p50 {best['p50']:.0f} ms "
-                    f"/ p99 {best['p99']:.0f} ms{extra})"
-                ),
-                "value": round(best["thr"], 1),
-                "unit": "audio-s/s",
-                "vs_baseline": round(best["thr"] / 1.0, 1),
-            }
+    beams = [r for r in _results if str(r.get("arch", "")).startswith("beam")]
+    if beams:
+        bb = max(beams, key=lambda r: r["thr"])
+        extra += (
+            f"; beam={bb['arch'][4:]}: {bb['thr']:,.0f} audio-s/s at "
+            f"S={bb['S']} ({bb['step_ms']:.0f} ms step)"
+        )
+    mfu_bits = ""
+    if best.get("mfu") is not None:
+        mfu_bits = (
+            f"; MFU {best['mfu']*100:.1f}% of {best['chip_peak_tflops']:.0f} "
+            f"TFLOP/s {best.get('precision','')} peak"
+            + (
+                f", device step {best['device_step_ms_p50']:.0f} ms "
+                f"-> {best['device_mfu']*100:.1f}% device MFU"
+                if best.get("device_step_ms_p50") is not None
+                else ""
+            )
+        )
+    out = {
+        "metric": (
+            f"audio_seconds_per_second_per_chip (flagship {fam} transducer, "
+            f"{best['S']} concurrent streaming sessions, lag-1 pipelined "
+            f"dispatch incl. host event replay; {best['step_ms']:.0f} ms per "
+            f"{best['chunk_s']:.1f} s chunk, partial p50 {best['p50']:.0f} ms "
+            f"/ p99 {best['p99']:.0f} ms{mfu_bits}{extra})"
         ),
-        flush=True,
-    )
+        "value": round(best["thr"], 1),
+        "unit": "audio-s/s",
+        "vs_baseline": round(best["thr"] / 1.0, 1),
+        # structured record (VERDICT r4 tasks 1-3, weak #1): per-rung dicts
+        # incl. mfu / device_step_ms_p50/p99 / wall_p99_ms / stall counts,
+        # machine-readable for tools/update_readme_numbers.py
+        "mfu": best.get("mfu"),
+        "device_step_ms_p50": best.get("device_step_ms_p50"),
+        "device_step_ms_p99": best.get("device_step_ms_p99"),
+        "wall_p99_ms": best.get("wall_p99_ms"),
+        "rungs": _results,
+    }
+    print(json.dumps(out), flush=True)
 
 
 def main():
@@ -523,13 +639,21 @@ def main():
     #   2048/0.2 — low-latency serving point (reference 200 ms cadence,
     #            april_session.c:515 SEGSIZE)
     #   1024 conformer — second model family
+    #   10240/0.5 — INTERACTIVE north star (VERDICT r4 task 2): >=10,240
+    #            concurrent sessions at sub-second cadence with p99 partial
+    #            latency under one chunk time
+    #   2048 conformer — the second family's saturation rung (task 6)
+    #   1024 beam4 — streaming beam serving cost next to greedy (task 3)
     NORTH_STAR = (12288, 1.0, default_arch)
+    INTERACTIVE = (10240, 0.5, default_arch)
     configs = [
         (256, 1.0, default_arch),
+        INTERACTIVE,
         NORTH_STAR,
         (4096, 1.0, default_arch),
         (2048, 0.2, default_arch),
-        (1024, 1.0, "conformer" if default_arch == "lstm" else default_arch),
+        (2048, 1.0, "conformer" if default_arch == "lstm" else default_arch),
+        (1024, 1.0, "beam4" if default_arch == "lstm" else default_arch),
     ]
     if "APRIL_BENCH_BATCHES" in os.environ:
         configs = [
@@ -551,7 +675,7 @@ def main():
     # under this cap): past it, no new config is launched and the summary
     # emits from what's done.
     deadline = time.monotonic() + float(
-        os.environ.get("APRIL_BENCH_DEADLINE_S", "1140")
+        os.environ.get("APRIL_BENCH_DEADLINE_S", "1680")
     )
 
     import signal
