@@ -288,7 +288,12 @@ def main(argv=None) -> int:
         "--pipeline-stages", type=int, default=1,
         help="pipeline-parallel stages: split the encoder layer stack into "
         "N slabs over a `stage` mesh axis; a chunk's pulls flow through "
-        "them as ppermute microbatches (LSTM family)",
+        "them as ppermute microbatches (LSTM family). The whole step runs "
+        "as one shard_map over a (data, stage) mesh — remaining devices "
+        "form the data axis, the fused Pallas/int8 kernels stay alive on "
+        "each stage's slab, and multi-process meshes are supported "
+        "(tests/test_multihost_2proc.py). Steady-state stage utilization "
+        "is P/(P+N-1) for P pulls per chunk (e.g. 25 pulls, 2 stages: 96%)",
     )
     ap.add_argument(
         "--profile-dir", default=None,
@@ -328,8 +333,10 @@ def main(argv=None) -> int:
         from jax.sharding import Mesh
 
         ns = args.pipeline_stages
+        nd = max(1, len(jax.devices()) // ns)  # leftover devices: data axis
         mesh = Mesh(
-            _np.array(jax.devices()[:ns]).reshape(1, ns), ("data", "stage")
+            _np.array(jax.devices()[: nd * ns]).reshape(nd, ns),
+            ("data", "stage"),
         )
         print(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}", file=sys.stderr)
     elif args.mesh or args.model_parallel > 1:

@@ -202,13 +202,22 @@ class BatchEngine:
 
                 specs_w = stage_param_specs(rt.weights)
                 if self._multiprocess:
-                    raise NotImplementedError(
-                        "pipeline-stage serving is single-process"
-                    )
-                self.weights = {
-                    k: jax.device_put(v, NamedSharding(mesh, specs_w[k]))
-                    for k, v in rt.weights.items()
-                }
+                    # same recipe as multi-process TP: device_put cannot
+                    # reach non-addressable stage shards, so jit with
+                    # out_shardings materializes the global arrays from
+                    # (identical) per-host values
+                    w_shardings = {
+                        k: NamedSharding(mesh, specs_w[k]) for k in rt.weights
+                    }
+                    host_w = {k: np.asarray(v) for k, v in rt.weights.items()}
+                    self.weights = jax.jit(
+                        lambda w: w, out_shardings=w_shardings
+                    )(host_w)
+                else:
+                    self.weights = {
+                        k: jax.device_put(v, NamedSharding(mesh, specs_w[k]))
+                        for k, v in rt.weights.items()
+                    }
             elif tp_axes:
                 # shard_map TP path: family-specific shuffled layout + TP
                 # specs (LSTM: gate shuffle + fused kernels on local layer

@@ -335,12 +335,13 @@ def build_engine(
         # split into contiguous slabs over the stages and a chunk's pulls
         # flow through them as microbatches over ppermute (the TPU-native
         # generalization of the reference's sequential 3-network pipeline,
-        # april_session.c:447-454). The rest of the step (fbank, decode)
-        # compiles GSPMD-replicated, so this path traces the pure-XLA
-        # compute (pallas_call cannot appear in a GSPMD-partitioned
-        # program); the blocks inside the stage shard_map are pure XLA
-        # already.
-        from ..parallel.pipeline import pp_encoder_chunk, pp_encoder_step
+        # april_session.c:447-454). The WHOLE step runs under one shard_map
+        # over the mesh (like the TP path): each stage's slab executes the
+        # fused Pallas kernels on its local layers, and the replicated
+        # parts (fbank, decode) run identically on every stage shard —
+        # deterministic, so event outputs agree across stages.
+        from ..models.lstm_transducer import _mm, conv_subsample
+        from ..parallel.pipeline import STACKED_KEYS, stage_chunk_body
 
         if rt.kind != "native" or "w_ih_t" not in rt.weights:
             raise ValueError(
@@ -351,10 +352,37 @@ def build_engine(
             raise ValueError(
                 f"{rt.dims.layers} layers not divisible by {ns} stages"
             )
+
+        def _pp_slab(w):
+            keys = [k for k in w if k in STACKED_KEYS
+                    or (k.endswith("_q8") and k[:-3] in STACKED_KEYS)
+                    or (k.endswith("_q8s") and k[:-4] in STACKED_KEYS)]
+            return {k: w[k] for k in keys}
+
+        def pp_chunk_inner(w, y0, h, c, can):
+            ys, h2, c2 = stage_chunk_body(
+                _pp_slab(w), y0, can, h, c, "stage", ns, use_pallas=True
+            )
+            eouts = _mm(ys, w["enc_proj_t"]) + w["enc_proj_b"].astype(
+                jnp.float32
+            )
+            return eouts, h2, c2
+
+        def pp_step_inner(w, x, h, c):
+            y0 = conv_subsample(w, x)[:, 0, :][None]  # [1, S, d]
+            can1 = jnp.ones((1, x.shape[0]), bool)
+            ys, h2, c2 = stage_chunk_body(
+                _pp_slab(w), y0, can1, h, c, "stage", ns, use_pallas=True
+            )
+            eout = _mm(ys[0], w["enc_proj_t"]) + w["enc_proj_b"].astype(
+                jnp.float32
+            )
+            return eout, h2, c2
+
         rt = dataclasses.replace(
             rt,
-            encoder_step=pp_encoder_step(mesh),
-            encoder_chunk=pp_encoder_chunk(mesh),
+            encoder_step=pp_step_inner,
+            encoder_chunk=pp_chunk_inner,
             encoder_chunk_max_pulls=None,
         )
         tp_family = "pipeline"
@@ -756,20 +784,52 @@ def build_engine(
         step_c = jax.jit(step, donate_argnums=donate_args)
         flush_c = jax.jit(flush, donate_argnums=donate_args)
     elif pp_mesh:
-        # plain jit: the stage shard_map lives INSIDE the encoder; the rest
-        # of the step replicates under GSPMD, so trace pure-XLA (no pallas)
-        from ..ops.dispatch import pallas_disabled
+        # engine-wide shard_map over the ('data', 'stage') mesh, exactly
+        # like the TP path: stacked encoder leaves shard over the stage
+        # axis (layer slabs, Pallas kernels alive inside the body), state
+        # h/c shard (stage, data), everything else shards over data and
+        # replicates across stages (identical deterministic compute, so
+        # per-stage event blobs agree).
+        from jax.sharding import PartitionSpec as PS
 
-        def _no_pallas_pp(fn):
-            @functools.wraps(fn)
-            def inner(*a, **k):
-                with pallas_disabled():
-                    return fn(*a, **k)
+        from ..parallel.pipeline import stage_param_specs
 
-            return inner
+        try:
+            from jax import shard_map as _shard_map
 
-        step_c = _no_pallas_pp(jax.jit(step, donate_argnums=donate_args))
-        flush_c = _no_pallas_pp(jax.jit(flush, donate_argnums=donate_args))
+            _sm_kwargs = {"check_vma": False}
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map as _shard_map
+
+            _sm_kwargs = {"check_rep": False}
+
+        data_axis = mesh.axis_names[0]
+        w_specs = stage_param_specs(rt.weights)
+        state_specs = {
+            "fbank": PS(data_axis),
+            "h": PS("stage", data_axis),
+            "c": PS("stage", data_axis),
+            "decode": PS(data_axis),
+        }
+        ev_specs = PackedEvents(blob=PS(data_axis), dense=PS(data_axis))
+        step_c = jax.jit(
+            _shard_map(
+                step, mesh=mesh,
+                in_specs=(w_specs, state_specs, PS(data_axis), PS(data_axis)),
+                out_specs=(state_specs, ev_specs),
+                **_sm_kwargs,
+            ),
+            donate_argnums=donate_args,
+        )
+        flush_c = jax.jit(
+            _shard_map(
+                flush, mesh=mesh,
+                in_specs=(w_specs, state_specs, PS(data_axis)),
+                out_specs=(state_specs, ev_specs),
+                **_sm_kwargs,
+            ),
+            donate_argnums=donate_args,
+        )
     else:
         data_axis = mesh.axis_names[0]
         model_size = 1

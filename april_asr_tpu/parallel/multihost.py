@@ -199,6 +199,34 @@ def abandon_distributed() -> None:
 _abandoned = None
 
 
+def rejoin_distributed(
+    coordinator_address: str,
+    num_processes: int,
+    process_id: int,
+    on_peer_failure=None,
+) -> None:
+    """Scale BACK OUT after a failover: bring up a fresh distributed runtime
+    from a process that has already been serving locally (the inverse of
+    abandon_distributed, and the 'rejoin' half of SURVEY §2.4's elastic
+    contract). `jax.distributed.initialize` refuses to run once the XLA
+    backend has been touched, so the local backends are dropped first — the
+    caller must rebuild its engine on the new global mesh and restore slots
+    from its snapshot (tests/test_host_rejoin.py drives the full sequence:
+    serve locally -> snapshot -> rejoin -> mesh engine -> restore -> hand
+    half the slots to the replacement host)."""
+    import jax.extend.backend as _xb
+
+    _xb.clear_backends()
+    init_distributed(
+        coordinator_address, num_processes, process_id,
+        on_peer_failure=on_peer_failure,
+    )
+    log.warning(
+        "rejoined distributed runtime as process %d/%d", process_id,
+        num_processes,
+    )
+
+
 def local_slot_range(batch: int, mesh) -> Tuple[int, int]:
     """[start, stop) of the session slots whose `data`-axis shards live on
     this process's devices.
@@ -318,12 +346,21 @@ def _conformer_canonical_to_tp(arr, key: str, m: int, dims):
 
 
 def _tp_model_size(engine) -> int:
+    mesh = getattr(engine, "mesh", None)
+    if mesh is None:
+        return 1
+    if getattr(engine.prog, "tp_family", None) == "pipeline":
+        # stage mesh: h/c shard their LAYER dim over the stage axis in the
+        # canonical order (contiguous slabs) — only the gather is needed,
+        # but it IS needed (the addressable-shards walk dedupes by session
+        # start and would otherwise drop every slab but the first)
+        return int(mesh.shape.get("stage", 1))
     tp_axes = getattr(engine.prog, "tp_axes", None)
-    if not tp_axes or getattr(engine, "mesh", None) is None:
+    if not tp_axes:
         return 1
     m = 1
     for ax in tp_axes:
-        m *= engine.mesh.shape[ax]
+        m *= mesh.shape[ax]
     return m
 
 

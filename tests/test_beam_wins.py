@@ -71,14 +71,33 @@ def _write_corpus(tmp_path, prefix, seed, n):
 @pytest.fixture(scope="module")
 def trained(tmp_path_factory):
     import json
+    import os
+    from pathlib import Path
 
     from april_asr_tpu.cli.train import main as train_main
 
     tmp_path = tmp_path_factory.mktemp("beam_wins")
-    manifest, _ = _write_corpus(tmp_path, "train", seed=21, n=32)
     # 32 held-out utterances: the win margin is a few words, so the eval set
     # must be large enough that one utterance cannot decide the assertion
     _, test_pairs = _write_corpus(tmp_path, "test", seed=777, n=32)
+
+    # Default: decode the FROZEN committed checkpoints (VERDICT r4 weak #5 —
+    # retraining here re-rolled the margins on every train-step numeric
+    # change; the capability claim is about SEARCH, not about today's
+    # training trajectory). tools/gen_beam_wins_fixtures.py regenerates
+    # them; APRIL_RETRAIN_BEAM_WINS=1 forces the slow retrain path.
+    fix_dir = Path(__file__).parent / "golden" / "beam_wins"
+    if os.environ.get("APRIL_RETRAIN_BEAM_WINS", "0") != "1" and all(
+        (fix_dir / f"bigram{s}.april").exists() for s in (200, 250, 300)
+    ):
+        return {
+            "models": {
+                s: str(fix_dir / f"bigram{s}.april") for s in (200, 250, 300)
+            },
+            "pairs": test_pairs,
+        }
+
+    manifest, _ = _write_corpus(tmp_path, "train", seed=21, n=32)
     out_dir = tmp_path / "exp"
     out_dir.mkdir()
     # WORD-LEVEL pieces (pre-seeded pieces.json): each syllable is ONE token,

@@ -242,3 +242,57 @@ def test_tp_snapshot_restores_into_single_device_engine(tmp_path):
             pass
     eng_l.flush(np.ones(S, bool))
     assert any(len(s) for s in out)  # restored sessions keep producing
+
+
+def test_pp_stage_mesh_snapshot_restores_bitexact(tmp_path):
+    """Snapshots compose with the pipeline-stage mesh too: h/c shard their
+    LAYER dim over the stage axis, so the snapshot path must gather the
+    slabs (canonical order is already contiguous). Restore into a plain
+    single-device engine continues bit-exactly (the PP schedule is
+    bit-identical to the sequential stack on CPU, test_pipeline.py)."""
+    rt = _lstm_rt()
+    audio = _audio()
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "stage"))
+
+    ref = [[] for _ in range(S)]
+    eng_r = BatchEngine(rt, batch=S, cfg=EngineConfig(chunk_samples=CHUNK))
+    for h in _mk_handlers(ref):
+        eng_r.alloc(h)
+    for c in range(3):
+        for i in range(S):
+            eng_r.feed(i, audio[i, c * CHUNK : (c + 1) * CHUNK])
+        while eng_r.tick():
+            pass
+    eng_r.flush(np.ones(S, bool))
+
+    got = [[] for _ in range(S)]
+    handlers = _mk_handlers(got)
+    eng_a = BatchEngine(rt, batch=S, cfg=EngineConfig(chunk_samples=CHUNK),
+                        mesh=mesh)
+    assert eng_a.prog.tp_family == "pipeline"
+    for h in handlers:
+        eng_a.alloc(h)
+    for i in range(S):
+        eng_a.feed(i, audio[i, :CHUNK])
+    while eng_a.tick():
+        pass
+    snap = str(tmp_path / "pp.npz")
+    snapshot_local_slots(eng_a, snap)
+    # every layer slab present, not just stage 0's
+    data = np.load(snap)
+    assert data["h"].shape[0] == rt.dims.layers
+    assert data["c"].shape[0] == rt.dims.layers
+
+    eng_b = BatchEngine(rt, batch=S, cfg=EngineConfig(chunk_samples=CHUNK))
+    for i in range(S):
+        eng_b.alloc(handlers[i])
+        eng_b.slots[i].replayer = eng_a.slots[i].replayer
+    restore_slots(eng_b, snap)
+    for c in range(1, 3):
+        for i in range(S):
+            eng_b.feed(i, audio[i, c * CHUNK : (c + 1) * CHUNK])
+        while eng_b.tick():
+            pass
+    eng_b.flush(np.ones(S, bool))
+    assert any(len(s) for s in ref)
+    assert got == ref
