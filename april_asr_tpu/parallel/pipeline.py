@@ -33,7 +33,7 @@ STACKED_KEYS = (
 
 
 def _is_stacked(k: str) -> bool:
-    base = k[:-4] if k.endswith("_q8") else k[:-5] if k.endswith("_q8s") else k
+    base = k[:-3] if k.endswith("_q8") else k[:-4] if k.endswith("_q8s") else k
     return base in STACKED_KEYS
 
 

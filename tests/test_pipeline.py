@@ -109,3 +109,56 @@ def test_engine_pipeline_stage_mesh_matches_unsharded(monkeypatch):
     got = run(mesh)
     assert all(len(s) > 0 for s in ref)
     assert got == ref
+
+
+def test_engine_pipeline_stage_mesh_int8_no_recovery():
+    """INT8 weights on the stage mesh: the q8 stacked leaves (`*_q8`,
+    `*_q8s`) must shard over the stage axis with the float leaves (round-5
+    regression: a suffix-stripping off-by-one left them replicated, the
+    per-stage scan saw mixed [L] and [L/ns] leading dims, and every tick
+    died into the elastic-recovery path). Asserts callbacks flow AND zero
+    engine recoveries."""
+    from april_asr_tpu.engine import BatchEngine
+    from april_asr_tpu.io.params import build_vocab_tables
+    from april_asr_tpu.models.export import make_model_parameters
+    from april_asr_tpu.models.loader import (
+        ModelRuntime, _fbank_opts_from_params, _native_runtime_fns,
+        _native_split_fns,
+    )
+    from april_asr_tpu.models.lstm_transducer import (
+        precompute_decoder_tables, quantize_weights,
+    )
+    from april_asr_tpu.testing import default_tokens
+    from april_asr_tpu.utils import logging as alog
+
+    params = init_transducer_params(jax.random.PRNGKey(0), DIMS)
+    params = quantize_weights(precompute_decoder_tables(params, DIMS))
+    mp = make_model_parameters(DIMS, default_tokens(DIMS.vocab))
+    enc, dec, joi = _native_runtime_fns(DIMS)
+    embed, recur, chunk = _native_split_fns()
+    rt = ModelRuntime(
+        name="pp8", description="", language="en", params=mp,
+        fbank_opts=_fbank_opts_from_params(mp), vocab=build_vocab_tables(mp),
+        dims=DIMS, kind="native", weights=params, encoder_step=enc,
+        decoder_step=dec, joiner=joi,
+        state_shapes=((DIMS.layers, DIMS.d_model), (DIMS.layers, DIMS.hidden)),
+        encoder_embed=embed, encoder_recurrent=recur, encoder_chunk=chunk,
+    )
+    S = 4
+    rng = np.random.default_rng(7)
+    audio = (rng.normal(0, 0.2, size=(S, 6400)) * 20000).astype(np.int16)
+    before = alog.metrics.snapshot().get("engine_recoveries", 0)
+    mesh = Mesh(np.array(jax.devices()[:2]).reshape(1, 2), ("data", "stage"))
+    eng = BatchEngine(rt, batch=S, mesh=mesh)
+    events = []
+    for i in range(S):
+        eng.alloc(lambda r, toks: events.append(r))
+    for off in range(0, 6400, 3200):
+        for i in range(S):
+            eng.feed(i, audio[i, off : off + 3200])
+        while eng.tick():
+            pass
+    eng.flush(np.ones(S, bool))
+    after = alog.metrics.snapshot().get("engine_recoveries", 0)
+    assert events, "no callbacks on the int8 stage mesh"
+    assert after == before, "engine recovery fired on the int8 PP path"
