@@ -192,18 +192,15 @@ def bench_batch(
     sink = []
 
     if beam:
+        from april_asr_tpu.engine.beam_engine import replay_rows
+
         replayers = [
             BeamReplayer(rt.params, rt.vocab, lambda r, toks: sink.append(r))
             for _ in range(S)
         ]
 
         def replay(rows):
-            arr = np.asarray(rows)
-            for s in range(arr.shape[0]):
-                rs = replayers[s]
-                for p in range(arr.shape[1]):
-                    rs.apply_row(arr[s, p])
-            return int(arr[:, :, 0].sum())  # valid pull rows replayed
+            return replay_rows(rows, replayers)
     else:
         class _BenchSlot:
             __slots__ = ("replayer",)
@@ -571,7 +568,7 @@ def _emit_summary():
             extra += (
                 f"; north star: {ns['S']:,} concurrent sessions at "
                 f"{ns['thr']/ns['S']:.2f}x realtime ({ns['step_ms']:.0f} ms "
-                f"step / {ns['chunk_s']:.0f} s chunk, p99 {ns['p99']:.0f} ms"
+                f"step / {ns['chunk_s']:g} s chunk, p99 {ns['p99']:.0f} ms"
                 f"{hbm})"
             )
     if lowlat is not best and lowlat["chunk_s"] < best["chunk_s"]:
@@ -663,7 +660,11 @@ def main():
         (4096, 1.0, default_arch),
         (2048, 0.2, default_arch),
         (2048, 1.0, "conformer" if default_arch == "lstm" else default_arch),
-        (1024, 1.0, "beam4" if default_arch == "lstm" else default_arch),
+        # beam rung at S=512: the per-pull fused int8 kernel's scoped-VMEM
+        # allocation overflows at S=1024 inside the beam engine's nested
+        # while structure (XLA AOT: 17.29M > 16M limit); scale-out for beam
+        # is the DP mesh (engine/beam_engine.py), not bigger per-chip S
+        (512, 1.0, "beam4" if default_arch == "lstm" else default_arch),
     ]
     if "APRIL_BENCH_BATCHES" in os.environ:
         configs = [
