@@ -295,15 +295,34 @@ def bench_batch(
     # wall time is device step + dispatch ack, with the multi-MB readback
     # excluded. Reported as a (p50, max) pair; it upper-bounds pure device
     # time by one transport ack (~sub-ms measured on this tunnel when idle).
+    # Each blocked dispatch also carries one full transport round trip that
+    # has nothing to do with the chip — on this tunnel the RTT is sub-ms
+    # when idle but tens of ms at congested hours, which at small S can
+    # exceed the device step itself. Measure the RTT floor the same way
+    # (trivial jitted no-op on a device-resident array, single-in-flight)
+    # and subtract its median, so device_step_ms is hour-independent.
     device_step_ms = None
     try:
+        tiny = jnp.arange(8, dtype=jnp.int32)
+        f_noop = jax.jit(lambda x: x + 1)
+        jax.block_until_ready(f_noop(tiny))  # compile
+        rtts = []
+        for _ in range(9):
+            t_c = time.perf_counter()
+            jax.block_until_ready(f_noop(tiny))
+            rtts.append((time.perf_counter() - t_c) * 1000.0)
+        rtt_ms = float(np.median(rtts))
         dev = []
         for j in range(5):
             t_c = time.perf_counter()
             state, _ev = prog.step(rt.weights, state, bufs[j % 8], n)
             jax.block_until_ready(state)
             dev.append((time.perf_counter() - t_c) * 1000.0)
-        device_step_ms = (float(np.median(dev)), float(np.max(dev)))
+        device_step_ms = (
+            max(float(np.median(dev)) - rtt_ms, 0.0),
+            max(float(np.max(dev)) - rtt_ms, 0.0),
+            rtt_ms,
+        )
     except Exception:
         pass
 
@@ -419,13 +438,18 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
             "mfu": round(gfa * thr / 1000.0 / peak, 4),
             "wall_p99_ms": None if wall_p99 is None else round(wall_p99, 1),
         }
-        if dev is not None:
+        if dev is not None and dev[0] > 0:
             dev_thr = audio_s_per_step / (dev[0] / 1000.0)
             r.update(
                 device_step_ms_p50=round(dev[0], 2),
                 device_step_ms_p99=round(dev[1], 2),
                 device_mfu=round(gfa * dev_thr / 1000.0 / peak, 4),
             )
+            if len(dev) > 2:
+                # the transport round trip subtracted from the probe (see
+                # bench_batch) — kept in the record so a reader can see how
+                # much of the raw blocked-dispatch wall was tunnel, not chip
+                r["transport_rtt_ms"] = round(dev[2], 2)
         return r
 
     def interim(durs, lat, n_events, done):
