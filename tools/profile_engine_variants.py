@@ -160,7 +160,8 @@ def make_variant(rt, batch, chunk, *, decode=True, lstm=True, fbank=True,
 
 def main():
     rt = build_runtime()
-    S, chunk = 2048, 16000
+    S = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 16000
     prog = build_engine(rt, batch=S, cfg=EngineConfig(chunk_samples=chunk))
     audio = jnp.asarray((np.random.default_rng(0).normal(0, 0.2, (S, chunk)) * 20000
                          ).astype(np.int16))
