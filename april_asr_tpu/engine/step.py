@@ -563,15 +563,22 @@ def build_engine(
             step_rows = layout.opts.pull_segment_step
             W = (P - 1) * step_rows + seg
             front = jax.vmap(lambda s: fbank_front(layout, s, W))(fb)  # [S, W, mel]
-            windows = jnp.stack(
-                [front[:, i * step_rows : i * step_rows + seg] for i in range(P)]
-            )  # [P, S, seg, mel]
             can = fb["fifo_len"][None, :] >= (
                 seg + step_rows * jnp.arange(P, dtype=jnp.int32)[:, None]
             )  # [P, S]
-            y0 = rt.encoder_embed(
-                weights, windows.reshape(P * S, seg, windows.shape[-1])
-            ).reshape(P, S, -1)
+            y0 = None
+            if rt.encoder_embed_front is not None:
+                # fused whole-front embed: no stacked-window tensor, no XLA
+                # conv relayouts (ops/conv_embed_pallas.py); returns None
+                # when the kernel is off or the geometry is unsupported
+                y0 = rt.encoder_embed_front(weights, front, P, step_rows)
+            if y0 is None:
+                windows = jnp.stack(
+                    [front[:, i * step_rows : i * step_rows + seg] for i in range(P)]
+                )  # [P, S, seg, mel]
+                y0 = rt.encoder_embed(
+                    weights, windows.reshape(P * S, seg, windows.shape[-1])
+                ).reshape(P, S, -1)
 
             use_chunk = rt.encoder_chunk is not None and (
                 rt.encoder_chunk_max_pulls is None or P <= rt.encoder_chunk_max_pulls

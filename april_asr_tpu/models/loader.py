@@ -91,6 +91,11 @@ class ModelRuntime:
     # joiner + argmax — one kernel per iteration on TPU. The engine prefers
     # this over joiner_argmax + an eager decoder_step when present.
     decoder_joiner_argmax: Optional[Callable] = None
+    # Optional fused whole-front embed: (w, front[S,W,mel], P, step) ->
+    # [P, S, d] — every pull window embedded in one kernel straight from the
+    # un-stacked front buffer (ops/conv_embed_pallas.py). The engine prefers
+    # this over stack-windows + encoder_embed when the geometry supports it.
+    encoder_embed_front: Optional[Callable] = None
 
     @property
     def sample_rate(self) -> int:
@@ -178,6 +183,12 @@ def _native_decoder_joiner(blank_id: int, dims):
     return lambda w, ctx, nd, dout, e: decoder_joiner_argmax(
         w, ctx, nd, dout, e, blank_id, dims
     )
+
+
+def _lstm_embed_front():
+    from .lstm_transducer import encoder_embed_front
+
+    return encoder_embed_front
 
 
 def _native_split_fns():
@@ -353,6 +364,7 @@ def load_model(path: str | os.PathLike, prefer_native: bool = True) -> ModelRunt
         decoder_joiner_argmax=(
             _native_decoder_joiner(p.blank_id, dims) if kind == "native" else None
         ),
+        encoder_embed_front=_lstm_embed_front() if kind == "native" else None,
     )
 
 
@@ -395,6 +407,7 @@ def _load_native_container(container: AprilContainer) -> ModelRuntime:
         encoder_chunk=chunk,
         joiner_argmax=_native_joiner_argmax(p.blank_id),
         decoder_joiner_argmax=_native_decoder_joiner(p.blank_id, dims),
+        encoder_embed_front=_lstm_embed_front(),
     )
 
 

@@ -705,6 +705,32 @@ def encoder_embed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return conv_subsample(params, x)[:, 0, :]
 
 
+def encoder_embed_front(params: Params, front: jnp.ndarray, P: int, step: int):
+    """Fused whole-front embed: [S, W, mel] -> [P, S, d_model] or None.
+
+    One pallas_call embeds every pull window straight from the un-stacked
+    front buffer (ops/conv_embed_pallas.py) — same per-window zero-pad
+    semantics as `encoder_embed` over stacked windows, without materializing
+    the window tensor or the XLA conv relayout copies. Returns None when the
+    kernel is disabled or the geometry is unsupported; the engine then falls
+    back to the stack+embed path."""
+    from ..ops.conv_embed_pallas import conv_embed_from_front, front_embed_supported
+
+    S, W, mel = front.shape
+    seg = W - (P - 1) * step
+    block_s = next((b for b in (8, 4, 2, 1) if S % b == 0), None)
+    if (
+        not _pallas_wanted()
+        or block_s is None
+        or not front_embed_supported(seg, mel, P, step, W, S, block_s)
+    ):
+        return None
+    interpret = jax.default_backend() != "tpu"
+    return conv_embed_from_front(
+        params, front, P=P, step=step, seg=seg, block_s=block_s, interpret=interpret
+    )
+
+
 def encoder_recurrent(
     params: Params, y: jnp.ndarray, h: jnp.ndarray, c: jnp.ndarray, gate=None
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
