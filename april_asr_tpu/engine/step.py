@@ -468,7 +468,13 @@ def build_engine(
     seg = layout.opts.pull_segment_count
     P = layout.max_pulls_per_step
 
-    v_accept = lambda s, w, n: fbank_accept_batch(layout, s, w, n)
+    # int8-serving engines run the frontend DFT on the int8 MXU path too:
+    # its 1.4e-3 worst-case log-mel error is below the bf16 cast the
+    # encoder applies to these rows (ops/fbank_pallas._buf_kernel_i8)
+    _dft_i8 = isinstance(rt.weights, dict) and any(
+        str(k).endswith("_q8") for k in rt.weights
+    )
+    v_accept = lambda s, w, n: fbank_accept_batch(layout, s, w, n, dft_i8=_dft_i8)
     v_peek = jax.vmap(lambda s: fbank_peek(layout, s))
     v_advance = jax.vmap(lambda s, d: fbank_advance(layout, s, d))
     v_flush_pad = jax.vmap(lambda s: fbank_flush_pad(layout, s))

@@ -188,7 +188,12 @@ def _pad_to_rows(layout: FbankLayout, wave: jnp.ndarray) -> jnp.ndarray:
 
 
 def fbank_accept_batch(
-    layout: FbankLayout, state: FbankState, wave: jnp.ndarray, n: jnp.ndarray
+    layout: FbankLayout,
+    state: FbankState,
+    wave: jnp.ndarray,
+    n: jnp.ndarray,
+    *,
+    dft_i8: bool = False,
 ) -> FbankState:
     """Batched accept: state leaves/wave/n carry a leading session axis.
 
@@ -224,6 +229,7 @@ def fbank_accept_batch(
         from ..ops.fbank_pallas import (
             fused_supported,
             logmel_rows_from_buf,
+            logmel_rows_from_buf_i8,
             logmel_rows_fused,
         )
 
@@ -240,7 +246,17 @@ def fbank_accept_batch(
                 # tiles measured fastest by DEVICE time (6.08 vs 6.76 ms
                 # per step at 32 — wall-clock micro A/Bs through the remote
                 # tunnel are RTT-dominated and misleading here)
-                rows = logmel_rows_from_buf(layout, buf, interpret=interp)
+                #
+                # dft_i8 (int8-serving engines only): exact two-plane int8
+                # sample split + two-level int8 DFT matrix — 10.6 vs
+                # 13.5 ms per step at S=4096, max 1.4e-3 log-mel error vs
+                # the f64 oracle (below the bf16 activation cast the
+                # encoder applies to these rows anyway; the exact-path
+                # golden budget 2e-3 still holds, tests/test_fbank_pallas)
+                if dft_i8:
+                    rows = logmel_rows_from_buf_i8(layout, buf, interpret=interp)
+                else:
+                    rows = logmel_rows_from_buf(layout, buf, interpret=interp)
             else:
                 frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
                 rows = logmel_rows_fused(layout, frames, interpret=interp)

@@ -316,3 +316,175 @@ def buf_fused_supported(layout, S: int, block_s: int = 8) -> bool:
         and layout.max_frames > 0
         and (layout.leftover_cap + layout.chunk) > 0
     )
+
+
+def _buf_kernel_i8(
+    F: int,
+    n_views: int,
+    nfft: int,
+    buf_ref,
+    dhi_ref,
+    rlo_ref,
+    s_hi_ref,
+    corr_ref,
+    mel_hi_ref,
+    mel_lo_ref,
+    out_ref,
+):
+    """int8 MXU variant of `_buf_kernel`: PCM16 samples are 16-bit integers,
+    so x*32768 splits EXACTLY into two int8 planes (a = round(p/256),
+    b = p - 256a), and the folded DFT matrix splits into a per-column int8
+    hi plane plus its exact f32 residual R = D - dhi*s_hi, applied as ONE
+    bf16 dot (|R| <= s_hi/2, so bf16's 2^-8 relative rounding lands at
+    ~2^-16 of the column scale). The two int8 x int8 -> int32 dots
+    accumulate exactly; total error is bf16 rounding on the residual term
+    only — measured ~1e-4 max log-mel error vs the f64-grade XLA path
+    (budget 2e-3, tests/test_fbank_pallas.py). Cost: 2 int8 passes (= 1
+    bf16-pass equivalent at the MXU's 2x int8 rate) + 1 bf16 pass, vs the
+    3 bf16 passes (x4 short-K views) of `_buf_kernel`, and the view concat
+    contracts one K=640 matmul (5 full K tiles) instead of four K=160 ones.
+
+    The a plane uses a floor split (a = floor(p/256) fits int8 for the full
+    PCM16 range; round-to-nearest would hit a=+128 near p=+32767) and the b
+    plane is offset by -128 to fit int8; the constant +128 contribution per
+    output column is precomputed host-side (`corr_ref` = 128 * colsum(dhi))
+    and added back after the dot. Non-integer inputs (direct API use with
+    synthetic float audio) round to the nearest 1/32768 — still far inside
+    budget.
+    """
+    bs = buf_ref.shape[0]
+    shift = buf_ref.shape[2]
+    # (framing the int8/bf16 planes instead of f32 — splitting each sample
+    # once before the 4x-overlapping views — fails to compile in Mosaic:
+    # sublane-offset slices of (32,128)-tiled int8 arrays are unsupported,
+    # so the split runs after framing on the f32 frame matrix)
+    xcat = jnp.concatenate(
+        [buf_ref[:, v : v + F, :].reshape(bs * F, shift) for v in range(n_views)],
+        axis=-1,
+    )  # [bs*F, n_views*shift]
+    pcm = xcat * 32768.0
+    a = jnp.floor(pcm * (1.0 / 256.0))
+    b = jnp.clip(jnp.round(pcm - 256.0 * a) - 128.0, -128.0, 127.0)
+    a8 = a.astype(jnp.int8)
+    b8 = b.astype(jnp.int8)
+    # combine in f32: the a-plane dot can reach 128*127*512 ~= 8.3e6 in
+    # int32, and *256 would overflow int32's 2.15e9 in the adversarial
+    # worst case; f32 rounding here is <= 2^-24 relative (negligible)
+    acc_hi = (
+        jnp.dot(a8, dhi_ref[:], preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        * 256.0
+        + jnp.dot(b8, dhi_ref[:], preferred_element_type=jnp.int32).astype(
+            jnp.float32
+        )
+        + corr_ref[:]
+    )
+    spec = acc_hi * s_hi_ref[:] + jnp.dot(
+        xcat.astype(jnp.bfloat16),
+        rlo_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    power = spec[:, :nfft] * spec[:, :nfft] + spec[:, nfft:] * spec[:, nfft:]
+    mel = _dot3(power, mel_hi_ref, mel_lo_ref)
+    rows = jnp.log(jnp.maximum(jnp.float32(K_EPS), mel))
+    out_ref[:] = rows.reshape(bs, F, -1)
+
+
+@functools.lru_cache(maxsize=8)
+def _folded_dft_i8(padded: int, nfft: int, remove_dc: bool, preemph: float):
+    """Per-column int8 hi plane of the folded DFT matrix plus its exact
+    residual in bf16. Returns (dhi int8 [padded, 2nfft], rlo bf16
+    [padded, 2nfft], s_hi f32 [1, 2nfft], corr f32 [1, 2nfft]) with
+    x @ D == (x*32768 @ dhi) * s_hi + x @ rlo  (up to rlo's bf16 rounding)
+    for x = pcm/32768; s_hi has the /32768 PCM scale folded in and
+    corr = 128 * colsum(dhi) compensates the b plane's -128 offset."""
+    import ml_dtypes
+
+    dft = _folded_dft(padded, nfft, remove_dc, preemph).astype(np.float64)
+    s_raw = np.maximum(np.abs(dft).max(axis=0), 1e-30) / 127.0
+    dhi = np.round(dft / s_raw)
+    rlo = (dft - dhi * s_raw).astype(np.float32)
+    s_hi = (s_raw / 32768.0).astype(np.float32)[None, :]
+    corr = (128.0 * dhi.sum(axis=0)).astype(np.float32)[None, :]
+    return (
+        dhi.astype(np.int8),
+        rlo.astype(ml_dtypes.bfloat16),
+        s_hi,
+        corr,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("layout", "block_s", "interpret"))
+def logmel_rows_from_buf_i8(
+    layout, buf, *, block_s: int = 8, interpret: bool = False
+):
+    """int8-DFT variant of `logmel_rows_from_buf` (see `_buf_kernel_i8`)."""
+    o = layout.opts
+    padded = o.padded_window_size
+    shift = o.window_shift
+    nfft = o.num_fft_bins
+    F = layout.max_frames
+    S, L = buf.shape
+    n_views = -(-padded // shift)
+    nbuf = L // shift
+    K = n_views * shift
+
+    dhi, rlo, s_hi, corr = _folded_dft_i8(
+        padded, nfft, o.remove_dc_offset, o.preemph_coeff
+    )
+    # pad K from `padded` to whole views: zero matrix rows contribute zero
+    # regardless of the pad columns' sample content (a zero dhi row kills
+    # both the a8 and b8 dots there, and corr only sums real rows, so the
+    # b plane's -128 offset over pad columns cancels exactly)
+    dhi_p = np.zeros((K, 2 * nfft), np.int8)
+    dhi_p[:padded] = dhi
+    rlo_p = np.zeros((K, 2 * nfft), rlo.dtype)
+    rlo_p[:padded] = rlo
+
+    mel = mel_banks(
+        o.num_bins, nfft, padded, o.sample_freq, o.mel_low, o.mel_high
+    ).T.astype(np.float32)
+    mel_hi = np.asarray(mel.astype(jnp.bfloat16))
+    mel_lo = np.asarray((mel - mel_hi.astype(np.float32)).astype(jnp.bfloat16))
+
+    grid = (S // block_s,)
+    kern = functools.partial(_buf_kernel_i8, F, n_views, nfft)
+
+    def const(i):
+        return (0, 0)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (block_s, nbuf, shift), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((K, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * nfft), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, o.num_bins), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nfft, o.num_bins), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (block_s, F, o.num_bins), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((S, F, o.num_bins), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * S * F * (K * 2 * nfft + nfft * o.num_bins),
+            bytes_accessed=S * (L + F * o.num_bins) * 4,
+            transcendentals=S * F * o.num_bins,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        buf.reshape(S, nbuf, shift),
+        jnp.asarray(dhi_p),
+        jnp.asarray(rlo_p),
+        jnp.asarray(s_hi),
+        jnp.asarray(corr),
+        jnp.asarray(mel_hi),
+        jnp.asarray(mel_lo),
+    )

@@ -103,7 +103,7 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
             joiner_argmax=_native_joiner_argmax(mp.blank_id),
         )
 
-    from april_asr_tpu.models.loader import _native_split_fns
+    from april_asr_tpu.models.loader import _lstm_embed_front, _native_split_fns
 
     enc, dec, joi = _native_runtime_fns(dims)
     embed, recur, chunk = _native_split_fns()
@@ -114,6 +114,11 @@ def build_runtime(bias_blank: float = 2.0, arch: str = "lstm"):
         weights=params, encoder_step=enc, decoder_step=dec, joiner=joi,
         state_shapes=((dims.layers, dims.d_model), (dims.layers, dims.hidden)),
         encoder_embed=embed, encoder_recurrent=recur, encoder_chunk=chunk,
+        # fused whole-front conv embed (ops/conv_embed_pallas.py) — the
+        # loader wires this for real models; without it the engine falls
+        # back to stacked windows + XLA convs (~10.5 ms of relayout copies
+        # and conv fusions per step at S=4096, tools/profile_xplane.py)
+        encoder_embed_front=_lstm_embed_front(),
         joiner_argmax=_native_joiner_argmax(mp.blank_id),
         decoder_joiner_argmax=_native_decoder_joiner(mp.blank_id, dims),
     )

@@ -107,3 +107,50 @@ def test_fused_accept_partial_feed(monkeypatch):
             atol=2e-5,
             rtol=1e-4,
         )
+
+
+def test_i8_dft_kernel_within_budget():
+    """int8-DFT variant (`logmel_rows_from_buf_i8`): exact two-plane int8
+    sample split, two-level int8 matrix quantization. Error vs the f64-grade
+    XLA path must stay inside the frontend's 2e-3 budget (the engine only
+    enables it for int8-serving models, where the encoder's bf16 activation
+    cast ~4e-3 dominates it anyway). Reference DSP: src/fbank.c:241-295."""
+    from april_asr_tpu.frontend.fbank import _frame_dsp, _frames_from_buf
+    from april_asr_tpu.ops.fbank_pallas import logmel_rows_from_buf_i8
+
+    layout = FbankLayout.build(OPTS, 3200)
+    S = 4
+    L = layout.leftover_cap + layout.chunk
+    rng = np.random.default_rng(7)
+    # integer PCM16 samples scaled to f32: the engine's real input form
+    pcm = rng.integers(-32768, 32768, (S, L)).astype(np.float32) / 32768.0
+    buf = jnp.asarray(pcm)
+    got = logmel_rows_from_buf_i8(layout, buf, block_s=4, interpret=True)
+    frames = jax.vmap(lambda b: _frames_from_buf(layout, b))(buf)
+    ref = jax.vmap(lambda f: _frame_dsp(layout, f))(frames)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    assert err < 2e-3, err
+
+
+def test_i8_dft_accept_batch_flag():
+    """`fbank_accept_batch(dft_i8=True)` produces rows matching the exact
+    path within the budget and identical bookkeeping state."""
+    layout = FbankLayout.build(OPTS, 3200)
+    S = 8
+    waves = _streams(S, 3200)
+    pcm = np.round(waves * 32767).astype(np.float32) / 32768.0
+    st0 = jax.vmap(lambda _: fbank_init(layout))(jnp.arange(S))
+    n = jnp.full(S, 3200, jnp.int32)
+    a = fbank_accept_batch(layout, st0, jnp.asarray(pcm), n)
+    b = fbank_accept_batch(layout, st0, jnp.asarray(pcm), n, dft_i8=True)
+    np.testing.assert_array_equal(np.asarray(a["fifo_len"]), np.asarray(b["fifo_len"]))
+    np.testing.assert_array_equal(np.asarray(a["fifo_off"]), np.asarray(b["fifo_off"]))
+    np.testing.assert_allclose(
+        np.asarray(a["leftover"]), np.asarray(b["leftover"]), atol=1e-6
+    )
+    ln = int(np.asarray(a["fifo_len"])[0])
+    np.testing.assert_allclose(
+        np.asarray(a["fifo"])[:, :ln],
+        np.asarray(b["fifo"])[:, :ln],
+        atol=2e-3,
+    )
