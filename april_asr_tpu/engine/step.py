@@ -39,6 +39,7 @@ from ..frontend.fbank import (
     fbank_advance_n,
     fbank_flush_pad,
     fbank_front,
+    fbank_front_batch,
     fbank_init,
     fbank_peek,
 )
@@ -543,6 +544,46 @@ def build_engine(
         events = {k: jnp.stack([e[k] for e in evts], axis=1) for k in evts[0]}
         return dstate, events
 
+    def _try_chunk_decode(weights, eouts, can, dstate):
+        """Whole-chunk fused decode (ops/decode_pallas.py): the entire
+        P-pull x <=3-round inner decode — heuristics included — in ONE
+        pallas_call, replacing ~180 op launches per pull of scan glue
+        (~12.5 ms of the S=4096 step; tools/profile_xplane.py `while`).
+        Returns None when the kernel is off or the geometry/weights don't
+        support it (the scan fallback below is the reference semantics)."""
+        from ..ops.dispatch import pallas_wanted as _pw
+
+        if not _pw() or rt.decoder_joiner_argmax is None:
+            return None
+        if not isinstance(weights, dict) or "dec_table" not in weights:
+            return None
+        from ..ops.decode_pallas import chunk_decode_fused, chunk_decode_supported
+
+        P_, S, J = eouts.shape
+        d = weights["dec_table"].shape[2]
+        V = weights["join_t"].shape[1]
+        block_s = next((b for b in (512, 256, 128) if S % b == 0), 0)
+        if not block_s or not chunk_decode_supported(
+            S, J, d, rt.dims.context, V, block_s
+        ):
+            return None
+        cfg_key = (
+            float(dcfg.punctuation_margin),
+            float(dcfg.confident_margin),
+            float(dcfg.confident_logprob_penalty),
+            float(dcfg.long_silence_ms),
+            float(dcfg.silence_decay_ms),
+            int(dcfg.max_active_tokens),
+        )
+        return chunk_decode_fused(
+            eouts, can, dstate,
+            weights["dec_table"], weights["dec_proj_t"], weights["dec_proj_b"],
+            weights["join_t"], weights["join_b"], vt["mask"],
+            blank_id=blank, stride_ms=int(stride),
+            emit_ramp=INNER_STEPS_EMIT, cfg_key=cfg_key,
+            block_s=block_s, interpret=jax.default_backend() != "tpu",
+        )
+
     def step_body(weights, state, audio_f32, n):
         """Accept one chunk then drain all pulls (aas_infer's while loop).
 
@@ -568,7 +609,7 @@ def build_engine(
             S = n.shape[0]
             step_rows = layout.opts.pull_segment_step
             W = (P - 1) * step_rows + seg
-            front = jax.vmap(lambda s: fbank_front(layout, s, W))(fb)  # [S, W, mel]
+            front = fbank_front_batch(layout, fb, W)  # [S, W, mel]
             can = fb["fifo_len"][None, :] >= (
                 seg + step_rows * jnp.arange(P, dtype=jnp.int32)[:, None]
             )  # [P, S]
@@ -608,16 +649,20 @@ def build_engine(
                 # per-pull scan carries only the decode state
                 eouts, h, c = rt.encoder_chunk(weights, y0, h, c, can)
 
-                def scan_body(dstate, xs):
-                    eout_i, can_i = xs
-                    dstate = dict(dstate)
-                    dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(
-                        jnp.int32
-                    )
-                    dstate, events = inner_decode(weights, eout_i, can_i, dstate)
-                    return dstate, events
+                fused = _try_chunk_decode(weights, eouts, can, dstate)
+                if fused is not None:
+                    dstate, events = fused
+                else:
+                    def scan_body(dstate, xs):
+                        eout_i, can_i = xs
+                        dstate = dict(dstate)
+                        dstate["time_ms"] = dstate["time_ms"] + stride * can_i.astype(
+                            jnp.int32
+                        )
+                        dstate, events = inner_decode(weights, eout_i, can_i, dstate)
+                        return dstate, events
 
-                dstate, events = jax.lax.scan(scan_body, dstate, (eouts, can))
+                    dstate, events = jax.lax.scan(scan_body, dstate, (eouts, can))
             else:
                 def scan_body(carry, xs):
                     h, c, dstate = carry

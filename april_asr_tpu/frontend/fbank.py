@@ -504,6 +504,46 @@ def fbank_front(layout: FbankLayout, state: FbankState, w: int) -> jnp.ndarray:
     )
 
 
+def fbank_front_batch(
+    layout: FbankLayout, state: FbankState, w: int
+) -> jnp.ndarray:
+    """Batched `fbank_front`: state leaves carry a leading session axis;
+    returns [S, w, num_bins].
+
+    Fast path (lax.cond at the batch level): in the engine's steady state
+    every session advances by the same number of pulls per step, so
+    `fifo_off` is batch-uniform — the ring read is then ONE roll by a
+    shared traced offset (concat-double + dynamic_slice), instead of S
+    independent [w, R] one-hot matmuls (tiny per-session matrices the MXU
+    cannot tile; measured ~7 ms of the S=4096 engine step,
+    tools/profile_engine_variants.py). Sessions at different phases (mixed
+    starts, partial feeds, flush) fall back to the exact one-hot path."""
+    R = layout.fifo_rows
+    off = state["fifo_off"]
+
+    def slow(st):
+        return jax.vmap(lambda s: fbank_front(layout, s, w))(st)
+
+    if w > 2 * R:
+        return slow(state)
+
+    def fast(st):
+        off0 = st["fifo_off"][0]
+        ext = jnp.concatenate([st["fifo"], st["fifo"]], axis=1)  # [S, 2R, b]
+        rows = jax.lax.dynamic_slice_in_dim(ext, off0, w, axis=1)
+        if w > R:
+            # rows beyond one ring turn read duplicates; the one-hot path
+            # yields zeros there (rel never matches u >= R) — replicate that
+            rows = jnp.where(
+                (jnp.arange(w) < R)[None, :, None], rows, 0.0
+            )
+        return rows
+
+    return jax.lax.cond(
+        jnp.all(off == off[0]), fast, slow, state
+    )
+
+
 def fbank_advance_n(
     layout: FbankLayout, state: FbankState, n_pulls: jnp.ndarray
 ) -> FbankState:

@@ -154,3 +154,28 @@ def test_i8_dft_accept_batch_flag():
         np.asarray(b["fifo"])[:, :ln],
         atol=2e-3,
     )
+
+
+def test_front_batch_matches_per_session():
+    """`fbank_front_batch` fast path (uniform fifo_off -> one shared roll)
+    and slow path (mixed offsets -> per-session one-hot read) must both
+    reproduce the per-session `fbank_front` exactly."""
+    from april_asr_tpu.frontend.fbank import fbank_front, fbank_front_batch
+
+    layout = FbankLayout.build(OPTS, 3200)
+    S, R, b = 6, layout.fifo_rows, OPTS.num_bins
+    rng = np.random.default_rng(3)
+    W = R + 1  # wider than the ring: the tail row must read as zeros
+    for offs in ([5] * S, rng.integers(0, R, S).tolist()):
+        st = {
+            "fifo": jnp.asarray(rng.normal(0, 1, (S, R, b)).astype(np.float32)),
+            "fifo_off": jnp.asarray(np.array(offs, np.int32)),
+            "fifo_len": jnp.full((S,), R, jnp.int32),
+        }
+        got = jax.jit(lambda s: fbank_front_batch(layout, s, W))(st)
+        ref = jax.vmap(
+            lambda f, o: fbank_front(
+                layout, {"fifo": f, "fifo_off": o}, W
+            )
+        )(st["fifo"], st["fifo_off"])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
