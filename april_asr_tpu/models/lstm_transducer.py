@@ -714,11 +714,21 @@ def encoder_embed_front(params: Params, front: jnp.ndarray, P: int, step: int):
     the window tensor or the XLA conv relayout copies. Returns None when the
     kernel is disabled or the geometry is unsupported; the engine then falls
     back to the stack+embed path."""
-    from ..ops.conv_embed_pallas import conv_embed_from_front, front_embed_supported
+    import os
+
+    from ..ops.conv_embed_pallas import conv_embed_windows, front_embed_supported
+
+    # The conv-embed Pallas kernels hang the Mosaic compiler on real TPUs at
+    # every geometry tried (S=128..4096, P=5..27; interpret mode and the
+    # numerics are fine — the 4-D tiny-lane intermediates appear to be the
+    # trigger). Until that is resolved they are opt-in; the engine's stacked
+    # NHWC XLA embed path (conv_subsample_nhwc) is the shipped fast path.
+    if os.environ.get("APRIL_CONV_EMBED_KERNEL", "0") != "1":
+        return None
 
     S, W, mel = front.shape
     seg = W - (P - 1) * step
-    block_s = next((b for b in (8, 4, 2, 1) if S % b == 0), None)
+    block_s = next((b for b in (512, 256, 128, 8, 4, 2, 1) if S % b == 0), None)
     if (
         not _pallas_wanted()
         or block_s is None
@@ -726,7 +736,7 @@ def encoder_embed_front(params: Params, front: jnp.ndarray, P: int, step: int):
     ):
         return None
     interpret = jax.default_backend() != "tpu"
-    return conv_embed_from_front(
+    return conv_embed_windows(
         params, front, P=P, step=step, seg=seg, block_s=block_s, interpret=interpret
     )
 

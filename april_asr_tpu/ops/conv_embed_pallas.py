@@ -188,6 +188,192 @@ def front_embed_supported(seg: int, mel: int, P: int, step: int, W: int,
     return W == (P - 1) * step + seg and S % block_s == 0 and P >= 1
 
 
+def _win_kernel(
+    step: int,
+    seg: int,
+    w1_ref,
+    b1_ref,
+    w2k_ref,
+    b2_ref,
+    w3k_ref,
+    b3_ref,
+    wo_ref,
+    bo_ref,
+    x_ref,  # [bn, W, mel]
+    out_ref,  # [1, bn, d]
+):
+    """One pull window per grid step (grid = session tiles x P windows).
+
+    The whole-front `_kernel` unrolls all P windows in one body; at serving
+    chunks (P=27) that ~1500-op body hangs the Mosaic compiler (observed:
+    >10 min at S=4096 where this variant compiles in seconds). Processing
+    one window per grid step keeps the body small and makes the per-window
+    zero-pad semantics direct — conv1 is computed on the isolated window
+    exactly like the XLA per-window path, no edge corrections needed. conv1
+    work on the overlapping rows is recomputed per window (seg/step = 2.25x
+    the shared-front conv1 FLOPs) but conv1 is <10% of the embed FLOPs."""
+    p = pl.program_id(1)
+    bn, W, mel = x_ref.shape
+    c1 = w1_ref.shape[0]
+    c2 = w2k_ref.shape[1]
+    c3 = w3k_ref.shape[1]
+    f2 = (mel - 3) // 2 + 1
+    t2 = (seg - 3) // 2 + 1
+    f3 = (f2 - 3) // 2 + 1
+
+    win = x_ref[:, pl.ds(p * step, seg), :]  # [bn, seg, mel]
+    xb = _bf(win)
+    xp = jnp.pad(xb, ((0, 0), (1, 1), (1, 1)))  # per-window zero pad
+    w1 = w1_ref[:].astype(jnp.float32)
+    acc = jnp.zeros((bn, seg, mel, c1), jnp.float32)
+    for dt in range(3):
+        for df in range(3):
+            tap = _bf(w1[:, 0, dt, df])  # [c1]
+            acc = acc + xp[:, dt : dt + seg, df : df + mel][..., None] * tap
+    acc = acc + b1_ref[:].astype(jnp.float32)
+    rj = double_swish(acc)  # [bn, seg, mel, c1]
+
+    def halve(x, axis):
+        sh = list(x.shape)
+        k = sh[axis] // 2
+        sh[axis : axis + 1] = [k, 2]
+        idx = [slice(None)] * len(sh)
+        idx[axis + 1] = 0
+        return x.reshape(sh)[tuple(idx)]
+
+    rjb = rj.astype(jnp.bfloat16)
+    # one zero row/col of slack so the even-index slices stay in bounds at
+    # dt=2 / df=2 (padded positions land on discarded odd indices)
+    rjb = jnp.pad(rjb, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    pats = []
+    for dt in range(3):
+        rows = halve(rjb[:, dt : dt + 2 * t2], 1)  # [bn, t2, mel+1, c1]
+        for df in range(3):
+            pats.append(halve(rows[:, :, df : df + 2 * f2], 2))
+    p2 = jnp.concatenate(
+        [q.reshape(bn * t2 * f2, c1) for q in pats], axis=-1
+    )  # [bn*t2*f2, 9*c1]
+    y2 = jnp.dot(p2, w2k_ref[:], preferred_element_type=jnp.float32)
+    y2 = double_swish(
+        y2.reshape(bn, t2, f2, c2) + b2_ref[:].astype(jnp.float32)
+    ).astype(jnp.bfloat16)
+    y2 = jnp.pad(y2, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    pats3 = []
+    for dt in range(3):
+        row = y2[:, dt]  # [bn, f2+1, c2]
+        for df in range(3):
+            pats3.append(halve(row[:, df : df + 2 * f3], 1))
+    p3 = jnp.concatenate(
+        [q.reshape(bn * f3, c2) for q in pats3], axis=-1
+    )  # [bn*f3, 9*c2]
+    y3 = jnp.dot(p3, w3k_ref[:], preferred_element_type=jnp.float32)
+    y3 = double_swish(y3.reshape(bn, f3, c3) + b3_ref[:].astype(jnp.float32))
+    y3 = y3.astype(jnp.bfloat16)
+
+    d_model = wo_ref.shape[1]
+    out = jnp.broadcast_to(bo_ref[:].astype(jnp.float32), (bn, d_model))
+    wo = wo_ref[:]
+    for f in range(f3):
+        out = out + jnp.dot(
+            y3[:, f, :], wo[f * c3 : (f + 1) * c3],
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("P", "step", "seg", "block_s", "interpret")
+)
+def conv_embed_windows(
+    params,
+    front: jnp.ndarray,
+    *,
+    P: int,
+    step: int,
+    seg: int,
+    block_s: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[S, W, mel] front buffer -> [P, S, d_model]; one window per grid
+    step (see `_win_kernel`). Same contract and numerics as
+    `conv_embed_from_front`, compile-safe at serving P."""
+    S, W, mel = front.shape
+    if W != (P - 1) * step + seg:
+        raise ValueError(f"front width {W} != (P-1)*step+seg for {P=} {step=} {seg=}")
+    c1 = params["conv1_w"].shape[0]
+    c2 = params["conv2_w"].shape[0]
+    c3 = params["conv3_w"].shape[0]
+    d = params["embed_out_w"].shape[1]
+    f2 = (mel - 3) // 2 + 1
+    f3 = (f2 - 3) // 2 + 1
+    t2 = (seg - 3) // 2 + 1
+
+    w2k = (
+        jnp.transpose(params["conv2_w"], (2, 3, 1, 0))
+        .reshape(9 * c1, c2)
+        .astype(jnp.bfloat16)
+    )
+    w3k = (
+        jnp.transpose(params["conv3_w"], (2, 3, 1, 0))
+        .reshape(9 * c2, c3)
+        .astype(jnp.bfloat16)
+    )
+    wo = (
+        params["embed_out_w"]
+        .reshape(c3, f3, d)
+        .transpose(1, 0, 2)
+        .reshape(f3 * c3, d)
+        .astype(jnp.bfloat16)
+    )
+
+    kern = functools.partial(_win_kernel, step, seg)
+    const = lambda i, p: (0,) * 1
+
+    grid = (S // block_s, P)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((c1, 1, 3, 3), lambda i, p: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c1, c2), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c2,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * c2, c3), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c3,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c3 * f3, d), lambda i, p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (block_s, W, mel), lambda i, p: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_s, d), lambda i, p: (p, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((P, S, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * S * P * (t2 * f2 * 9 * c1 * c2 + f3 * 9 * c2 * c3 + c3 * f3 * d)
+            + 2 * S * P * seg * mel * 9 * c1,
+            bytes_accessed=S * (W * mel + P * d) * 4,
+            transcendentals=S * P * seg * mel * c1,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        params["conv1_w"].astype(jnp.float32),
+        params["conv1_b"].astype(jnp.float32),
+        w2k,
+        params["conv2_b"].astype(jnp.float32),
+        w3k,
+        params["conv3_b"].astype(jnp.float32),
+        wo,
+        params["embed_out_b"].astype(jnp.float32),
+        front,
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("P", "step", "seg", "block_s", "interpret")
 )
@@ -205,6 +391,12 @@ def conv_embed_from_front(
 
     Exact per-window semantics (each window zero-padded independently, as the
     per-window XLA path computes them) — see module docstring.
+
+    KNOWN ISSUE: the body unrolls all P windows; past P~10 the Mosaic
+    compile time blows up (observed: hung >10 min at P=27, S=4096). The
+    product path uses `conv_embed_windows` (one window per grid step)
+    instead; this whole-front variant is kept for its shared-conv1
+    formulation and small-P tests.
     """
     S, W, mel = front.shape
     if W != (P - 1) * step + seg:

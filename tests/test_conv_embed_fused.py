@@ -86,3 +86,39 @@ def test_runtime_hook_gates_on_geometry(monkeypatch):
     # pallas disabled -> None
     monkeypatch.setenv("APRIL_PALLAS", "0")
     assert encoder_embed_front(PARAMS, front, P, step) is None
+
+@pytest.mark.parametrize("S,P", [(8, 27), (4, 5), (8, 1)])
+def test_windowed_kernel_matches_stacked_windows(S, P):
+    """`conv_embed_windows` (the product path: one window per grid step —
+    compile-safe at serving P, unlike the whole-front body) must match the
+    stacked-window XLA reference to the same tolerance."""
+    from april_asr_tpu.ops.conv_embed_pallas import conv_embed_windows
+
+    seg, mel, step = DIMS.segment_size, DIMS.mel, 4
+    W = (P - 1) * step + seg
+    front = jax.random.normal(jax.random.PRNGKey(4), (S, W, mel), jnp.float32)
+    ref = _ref_embed(front, P, step, seg)
+    got = conv_embed_windows(
+        PARAMS, front, P=P, step=step, seg=seg, block_s=4, interpret=True
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-2, rtol=0
+    )
+
+
+def test_windowed_matches_whole_front_exactly():
+    """Both kernels implement identical per-window math (same bf16 rounding
+    points), so they agree bit-for-bit where both compile."""
+    from april_asr_tpu.ops.conv_embed_pallas import conv_embed_windows
+
+    S, P, step, seg, mel = 8, 5, 4, DIMS.segment_size, DIMS.mel
+    W = (P - 1) * step + seg
+    front = jax.random.normal(jax.random.PRNGKey(5), (S, W, mel), jnp.float32)
+    a = conv_embed_from_front(
+        PARAMS, front, P=P, step=step, seg=seg, block_s=4, interpret=True
+    )
+    b = conv_embed_windows(
+        PARAMS, front, P=P, step=step, seg=seg, block_s=4, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=0)
