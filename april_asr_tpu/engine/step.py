@@ -470,10 +470,18 @@ def build_engine(
     P = layout.max_pulls_per_step
 
     # int8-serving engines run the frontend DFT on the int8 MXU path too:
-    # its 1.4e-3 worst-case log-mel error is below the bf16 cast the
-    # encoder applies to these rows (ops/fbank_pallas._buf_kernel_i8)
-    _dft_i8 = isinstance(rt.weights, dict) and any(
-        str(k).endswith("_q8") for k in rt.weights
+    # its 7.7e-4 worst-case log-mel error is below the bf16 cast the
+    # encoder applies to these rows (ops/fbank_pallas._buf_kernel_i8).
+    # APRIL_FBANK_DFT overrides: "exact" forces the bf16x3 kernel (used by
+    # tests that compare pallas-on vs pallas-off decode streams, where the
+    # frontends must match), "i8" forces the int8 path.
+    import os as _os
+
+    _dft_mode = _os.environ.get("APRIL_FBANK_DFT", "auto")
+    _dft_i8 = _dft_mode == "i8" or (
+        _dft_mode == "auto"
+        and isinstance(rt.weights, dict)
+        and any(str(k).endswith("_q8") for k in rt.weights)
     )
     v_accept = lambda s, w, n: fbank_accept_batch(layout, s, w, n, dft_i8=_dft_i8)
     v_peek = jax.vmap(lambda s: fbank_peek(layout, s))

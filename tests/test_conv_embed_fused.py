@@ -72,6 +72,10 @@ def test_edge_correction_is_what_distinguishes_windows():
 
 def test_runtime_hook_gates_on_geometry(monkeypatch):
     monkeypatch.setenv("APRIL_PALLAS", "1")
+    # the conv-embed kernels are opt-in while the Mosaic compile hang is
+    # unresolved (models/lstm_transducer.encoder_embed_front); this test
+    # covers the hook's geometry gating, so enable them explicitly
+    monkeypatch.setenv("APRIL_CONV_EMBED_KERNEL", "1")
     S, P, step = 4, 5, 4
     seg, mel = DIMS.segment_size, DIMS.mel
     W = (P - 1) * step + seg
