@@ -459,11 +459,27 @@ def _run_one(S: int, chunk_s: float, steps: int, arch: str) -> dict:
         }
         if dev is not None and dev[0] > 0:
             dev_thr = audio_s_per_step / (dev[0] / 1000.0)
-            r.update(
-                device_step_ms_p50=round(dev[0], 2),
-                device_step_ms_p99=round(dev[1], 2),
-                device_mfu=round(gfa * dev_thr / 1000.0 / peak, 4),
-            )
+            dev_mfu = gfa * dev_thr / 1000.0 / peak
+            rtt = dev[2] if len(dev) > 2 else 0.0
+            # Credibility guard: the probe is wall-time minus the tunnel RTT
+            # median, so when the device step is small relative to the RTT
+            # the residual is jitter, not chip time (observed: a ~16 ms step
+            # at S=256 reporting 1.5 ms -> device MFU 186%). Publish device
+            # fields only when the residual is at least 20% of the raw
+            # blocked-dispatch wall AND the implied device MFU is physical;
+            # otherwise record the raw probe values, flagged unreliable.
+            credible = dev_mfu < 1.0 and dev[0] >= 0.2 * (dev[0] + rtt)
+            if credible:
+                r.update(
+                    device_step_ms_p50=round(dev[0], 2),
+                    device_step_ms_p99=round(dev[1], 2),
+                    device_mfu=round(dev_mfu, 4),
+                )
+            else:
+                r["device_probe_unreliable"] = {
+                    "device_step_ms_p50": round(dev[0], 2),
+                    "device_step_ms_p99": round(dev[1], 2),
+                }
             if len(dev) > 2:
                 # the transport round trip subtracted from the probe (see
                 # bench_batch) — kept in the record so a reader can see how
